@@ -1,0 +1,127 @@
+"""Shared constants: the single source of truth for every threshold and
+character table used by BOTH the pure-Python oracle (``refparser``) and the
+vectorized Spark kernels. Keeping them here guarantees the two independent
+implementations cannot drift on *constants* (they remain separate code paths,
+so golden tests stay meaningful).
+
+Reference parity notes (file:line into /root/reference):
+  - invisible codepoint table: app/modules/parser/abc/abc.py:80-108
+  - replacement-char fix '\\ufffd' -> '.': abc/abc.py:106
+  - /uniXXXX unescape: abc/abc.py:73-79
+  - page break placeholder: abc/abc.py:30
+  - image placeholder comment: abc/abc.py:27 (ImageRefMode.PLACEHOLDER)
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Text-cleaning kernel (SURVEY.md §2.8 F4-F6)
+# ---------------------------------------------------------------------------
+
+# The 23 "invisible space" codepoints the reference maps to a single ASCII
+# space each (abc/abc.py:80-104). Order is irrelevant (1:1 char map).
+INVISIBLE_CODEPOINTS: str = (
+    "	"  # TAB
+    " "  # NO-BREAK SPACE
+    "­"  # SOFT HYPHEN
+    " "  # OGHAM SPACE MARK
+    "           "
+    "​"  # ZERO WIDTH SPACE
+    "‌"  # ZERO WIDTH NON-JOINER
+    "‍"  # ZERO WIDTH JOINER
+    " "  # NARROW NO-BREAK SPACE
+    " "  # MEDIUM MATHEMATICAL SPACE
+    "⁠"  # WORD JOINER
+    "　"  # IDEOGRAPHIC SPACE
+    "﻿"  # ZERO WIDTH NO-BREAK SPACE / BOM
+)
+assert len(INVISIBLE_CODEPOINTS) == 23
+INVISIBLE_REPLACEMENT: str = " " * len(INVISIBLE_CODEPOINTS)
+
+REPLACEMENT_CHAR: str = "�"
+REPLACEMENT_FIX: str = "."
+
+# /uniXXXX escape (abc/abc.py:73-79): exactly 4 hex digits, invalid left as-is.
+UNI_ESCAPE_PATTERN: str = r"/uni([0-9A-Fa-f]{4})"
+
+# Mojibake-repair trigger: attempt cp1252/latin-1 -> utf-8 re-decode only when
+# a char in the UTF-8 lead-byte range (0xC2-0xF4 as latin-1: Â..ô) is present;
+# the strict encode/decode round-trip is the real gate. (Deterministic subset
+# of ftfy.fix_text, abc/abc.py:59-61 — see refparser.textkernel.fix_text.)
+MOJIBAKE_LEAD_LO: str = "Â"
+MOJIBAKE_LEAD_HI: str = "ô"
+
+# ---------------------------------------------------------------------------
+# Span model (BASELINE.json input_hint / FIXTURES.md)
+# ---------------------------------------------------------------------------
+
+INPUT_KINDS = ("html", "pdf_line", "text", "image")
+OUTPUT_KINDS = ("heading", "text", "list_item", "table", "image", "code",
+                "page_break")
+
+# Table cell/row separators inside a single table span's text payload.
+CELL_SEP: str = "\x1f"   # unit separator between cells
+ROW_SEP: str = "\x1e"    # record separator between rows
+
+# Doc-level status vocabulary (FIXTURES.md §2).
+STATUS_OK = "ok"
+STATUS_EMPTY = "empty"
+STATUS_PARSE_FAILURE = "parse_failure"
+
+# Lineage status vocabulary mirrors webhook_manager/schemas.py:7-13.
+LINEAGE_PENDING = "PENDING"
+LINEAGE_PROCESSING = "PROCESSING"
+LINEAGE_READY = "READY"
+LINEAGE_ERROR = "ERROR"
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate classification (SURVEY.md §7.3.6 — constants are ours,
+# fixed here first, mirrored by the vectorized UDF)
+# ---------------------------------------------------------------------------
+
+# Subtrees dropped unconditionally (Readability-style semantic boilerplate).
+DROP_TAGS = frozenset({
+    "script", "style", "noscript", "template", "iframe", "svg",
+    "nav", "footer", "header", "aside", "form", "button",
+})
+HEADING_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+# Void elements that never hold text (html.parser does not auto-close them).
+VOID_TAGS = frozenset({
+    "br", "hr", "img", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+})
+# A text block is dropped as boilerplate when more than this fraction of its
+# characters live inside <a> tags.
+LINK_DENSITY_MAX: float = 0.33
+# Blocks shorter than this (after cleaning/stripping) with at least one link
+# are treated as navigation chrome and dropped.
+MIN_BLOCK_CHARS_WITH_LINKS: int = 20
+
+# ---------------------------------------------------------------------------
+# PDF layout clustering (FIXTURES.md §4.2)
+# ---------------------------------------------------------------------------
+
+# gap > Y_GAP_FACTOR * median line height  =>  new block
+Y_GAP_FACTOR: float = 1.8
+# Column split: largest gap between sorted x0 values must exceed this fraction
+# of the page's x extent for the page to be treated as two-column.
+COLUMN_GAP_FRACTION: float = 0.25
+
+# ---------------------------------------------------------------------------
+# Markdown serialization (SURVEY.md §2.9 F10-F15)
+# ---------------------------------------------------------------------------
+
+PAGE_BREAK_PLACEHOLDER: str = "\n---\n\n\n\n"  # abc/abc.py:30
+IMAGE_PLACEHOLDER: str = "<!-- image -->"       # ImageRefMode.PLACEHOLDER
+IMAGE_MODE_PLACEHOLDER = "placeholder"
+IMAGE_MODE_REFERENCED = "referenced"
+
+# ---------------------------------------------------------------------------
+# Scale / shuffle tuning
+# ---------------------------------------------------------------------------
+
+# Default salt fan-out for the two-phase reassembly collect (SURVEY §4.1).
+DEFAULT_SALT_BUCKETS: int = 8
+# Stable output-partition count for lineage/restart bucketing.
+DEFAULT_OUTPUT_PARTITIONS: int = 64
+SYNTH_SEED: int = 42

@@ -1,0 +1,126 @@
+"""Pure-Python oracle for PDF layout parsing: page -> column -> block -> line
+grouping by y-coordinate clustering and reading-order sort.
+
+Reference parity: the reference's PDF path delegates to Docling's layout
+pipeline (app/modules/parser/v1/file_parsers/pdf_parser.py:31-43,
+``generate_parsed_pages=True`` + ``ThreadedStandardPdfPipeline``), which
+groups glyphs->lines->blocks and sorts blocks into reading order, then cleans
+every text item (pdf_parser.py:53-62) and joins pages with the page-break
+placeholder (pdf_parser.py:94, abc/abc.py:30). We reproduce that behavior
+over coordinate-bearing ``pdf_line`` spans (FIXTURES.md encoding:
+``"<page>;<x0>;<y0>;<x1>;<y1>|<text>"``, PDF points ×100, y grows upward).
+
+Rules (FIXTURES.md §4.2, constants in config.py):
+  - columns: page is two-column when the largest gap between sorted distinct
+    x0 values exceeds COLUMN_GAP_FRACTION × page x-extent; left column reads
+    first.
+  - blocks: within a column, lines sorted by (-y1, x0); whitespace gap
+    ``prev.y0 - cur.y1`` > Y_GAP_FACTOR × median line height starts a block.
+  - headings: a single-line block whose line height is ≥2.0× the page median
+    is a level-1 heading; ≥1.5× is level-2 (Docling emits PDF headings from
+    font size; line height is our deterministic stand-in).
+  - pages joined by a ``page_break`` span between consecutive pages present.
+"""
+
+from __future__ import annotations
+
+from statistics import median
+
+from document_parser_spark.config import COLUMN_GAP_FRACTION, Y_GAP_FACTOR
+from document_parser_spark.refparser.textkernel import clean_and_fix
+
+
+class PdfLineError(ValueError):
+    """Raised for a malformed pdf_line payload (-> parse_failure tally)."""
+
+
+def parse_line(payload: str) -> tuple[int, int, int, int, int, str]:
+    """``"1;7200;70100;30950;71300|Hello"`` -> (page,x0,y0,x1,y1,text)."""
+    head, sep, text = payload.partition("|")
+    if not sep:
+        raise PdfLineError("missing '|' separator")
+    parts = head.split(";")
+    if len(parts) != 5:
+        raise PdfLineError("expected 5 coordinate fields")
+    try:
+        page, x0, y0, x1, y1 = (int(p) for p in parts)
+    except ValueError as exc:
+        raise PdfLineError("non-integer coordinate") from exc
+    return page, x0, y0, x1, y1, text
+
+
+def _split_columns(lines: list[tuple]) -> list[list[tuple]]:
+    """lines: (x0, y0, x1, y1, text). Returns 1 or 2 column groups, left
+    first, per the largest-x0-gap rule."""
+    xs = sorted({ln[0] for ln in lines})
+    if len(xs) < 2:
+        return [lines]
+    extent = max(ln[2] for ln in lines) - min(xs)
+    if extent <= 0:
+        return [lines]
+    best_gap, best_split = 0, None
+    for a, b in zip(xs, xs[1:]):
+        if b - a > best_gap:
+            best_gap, best_split = b - a, (a + b) / 2.0
+    if best_gap <= COLUMN_GAP_FRACTION * extent:
+        return [lines]
+    left = [ln for ln in lines if ln[0] < best_split]
+    right = [ln for ln in lines if ln[0] >= best_split]
+    if not left or not right:
+        return [lines]
+    return [left, right]
+
+
+def _cluster_blocks(col_lines: list[tuple], med_height: float) -> list[list[tuple]]:
+    """Sort a column's lines top-down and split into blocks at large y gaps."""
+    ordered = sorted(col_lines, key=lambda ln: (-ln[3], ln[0]))
+    blocks: list[list[tuple]] = []
+    prev = None
+    for ln in ordered:
+        if prev is None or (prev[1] - ln[3]) > Y_GAP_FACTOR * med_height:
+            blocks.append([ln])
+        else:
+            blocks[-1].append(ln)
+        prev = ln
+    return blocks
+
+
+def parse_pdf_lines(payloads: list[str]) -> tuple[list[tuple[str, str, str]], int]:
+    """All pdf_line payloads of one document (in input offset order) ->
+    (ordered blocks ``[(kind, text, media_ref)]`` incl. page_break spans,
+    n_failures)."""
+    failures = 0
+    by_page: dict[int, list[tuple]] = {}
+    for payload in payloads:
+        try:
+            page, x0, y0, x1, y1, text = parse_line(payload)
+        except PdfLineError:
+            failures += 1
+            continue
+        by_page.setdefault(page, []).append((x0, y0, x1, y1, text))
+
+    blocks_out: list[tuple[str, str, str]] = []
+    for page_idx, page in enumerate(sorted(by_page)):
+        if page_idx > 0:
+            blocks_out.append(("page_break", "", ""))
+        lines = by_page[page]
+        heights = [ln[3] - ln[1] for ln in lines]
+        med = median(heights) if heights else 1.0
+        if med <= 0:
+            med = 1.0
+        for col in _split_columns(lines):
+            for block in _cluster_blocks(col, med):
+                text = " ".join(
+                    t for t in (clean_and_fix(ln[4]).strip() for ln in block) if t
+                )
+                if not text:
+                    continue
+                kind, media_ref = "text", ""
+                if len(block) == 1:
+                    h = block[0][3] - block[0][1]
+                    if h >= 2.0 * med:
+                        kind, media_ref = "heading", "h1"
+                    elif h >= 1.5 * med:
+                        kind, media_ref = "heading", "h2"
+                blocks_out.append((kind, text, media_ref))
+    return blocks_out, failures

@@ -1,0 +1,96 @@
+"""Pure-Python oracle for the reference's scalar text kernel.
+
+Single-string, readable, deliberately non-vectorized: this module DEFINES the
+correctness contract; the Spark pipeline re-implements it vectorized and the
+golden tests assert exact equality between the two.
+
+Reference parity (file:line into /root/reference):
+  - clean_text pipeline & ordering: app/modules/parser/abc/abc.py:71-109
+      order of operations: /uniXXXX unescape (:73-79) -> U+FFFD -> '.' (:106)
+      -> 23 invisible codepoints -> one space each (:80-104)
+  - to_utf8 str branch (ftfy.fix_text): abc/abc.py:59-61 — we pin a
+    deterministic subset (utf-8 bytes mis-decoded as cp1252/latin-1, up to two
+    rounds), which is the spec for both pipeline and golden (SURVEY §7.3.2).
+  - NFC normalization: abc/abc.py:66-69 — called only on the DocParser path
+    (docx_parser.py:43); exposed here for completeness and tests.
+  - call-site ordering: clean_text precedes to_utf8 at every call site
+    (e.g. pdf_parser.py:56-57, html_parser.py:42-43).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from document_parser_spark.config import (
+    INVISIBLE_CODEPOINTS,
+    MOJIBAKE_LEAD_HI,
+    MOJIBAKE_LEAD_LO,
+    REPLACEMENT_CHAR,
+    REPLACEMENT_FIX,
+    UNI_ESCAPE_PATTERN,
+)
+
+_UNI_RE = re.compile(UNI_ESCAPE_PATTERN)
+_INVISIBLE_TABLE = {ord(c): " " for c in INVISIBLE_CODEPOINTS}
+_MOJIBAKE_RE = re.compile(f"[{MOJIBAKE_LEAD_LO}-{MOJIBAKE_LEAD_HI}]")
+
+
+def unescape_uni(text: str) -> str:
+    """``/uni0041`` -> ``A``; invalid hex sequences left untouched."""
+    return _UNI_RE.sub(lambda m: chr(int(m.group(1), 16)), text)
+
+
+def clean_text(text: str) -> str:
+    """The reference's clean_text: /uni unescape, then replacement-char fix,
+    then invisible-space mapping. Order matters (SURVEY §2.8 F6 note)."""
+    text = unescape_uni(text)
+    text = text.replace(REPLACEMENT_CHAR, REPLACEMENT_FIX)
+    return text.translate(_INVISIBLE_TABLE)
+
+
+def _try_repair_mojibake(text: str) -> str | None:
+    """One round of mojibake repair: re-encode with cp1252 (latin-1 fallback)
+    and strictly re-decode as UTF-8. Returns None when not applicable."""
+    if not _MOJIBAKE_RE.search(text):
+        return None
+    try:
+        raw = text.encode("cp1252")
+    except UnicodeEncodeError:
+        try:
+            raw = text.encode("latin-1")
+        except UnicodeEncodeError:
+            return None
+    try:
+        repaired = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    if repaired == text:
+        return None
+    return repaired
+
+
+def fix_text(text: str) -> str:
+    """Deterministic ftfy.fix_text subset: repair up to two rounds of UTF-8
+    bytes mis-decoded as cp1252/latin-1 (e.g. ``Ã©`` -> ``é``,
+    ``Ð¿Ñ€Ð¸Ð²ÐµÑ‚`` -> ``привет``). Strings without the mojibake signature
+    pass through verbatim."""
+    for _ in range(2):
+        repaired = _try_repair_mojibake(text)
+        if repaired is None:
+            return text
+        text = repaired
+    return text
+
+
+def normalize_nfc(text: str) -> str:
+    """NFC normalization (abc/abc.py:66-69). Applied only on the docx-kind
+    path in the reference; our input kinds never trigger it, but the kernel
+    keeps parity for when a docx-like kind is added."""
+    return unicodedata.normalize("NFC", text)
+
+
+def clean_and_fix(text: str) -> str:
+    """The full per-text-item kernel in reference call-site order:
+    clean_text then to_utf8 (pdf_parser.py:56-57)."""
+    return fix_text(clean_text(text))

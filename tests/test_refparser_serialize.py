@@ -1,0 +1,67 @@
+"""Oracle markdown serializer tests (SURVEY.md §2.9 F10-F15)."""
+
+from document_parser_spark.config import (
+    CELL_SEP,
+    IMAGE_MODE_REFERENCED,
+    IMAGE_PLACEHOLDER,
+    PAGE_BREAK_PLACEHOLDER,
+    ROW_SEP,
+)
+from document_parser_spark.refparser.serialize import (
+    serialize_markdown,
+    serialize_table,
+)
+
+
+class TestBlocks:
+    def test_heading_levels(self):
+        assert serialize_markdown([("heading", "T", "h1")]) == "# T"
+        assert serialize_markdown([("heading", "T", "h3")]) == "### T"
+
+    def test_text_join_blank_line(self):
+        md = serialize_markdown([("text", "a", ""), ("text", "b", "")])
+        assert md == "a\n\nb"
+
+    def test_list_items_adjacent_lines(self):
+        md = serialize_markdown([
+            ("list_item", "a", "li:u:0"),
+            ("list_item", "b", "li:u:0"),
+            ("list_item", "c", "li:u:1"),
+        ])
+        assert md == "- a\n- b\n  - c"
+
+    def test_ordered_list_marker(self):
+        assert serialize_markdown([("list_item", "x", "li:o:0")]) == "1. x"
+
+    def test_list_then_text_blank_line(self):
+        md = serialize_markdown([("list_item", "a", "li:u:0"), ("text", "t", "")])
+        assert md == "- a\n\nt"
+
+    def test_table(self):
+        payload = f"h1{CELL_SEP}h2{ROW_SEP}a{CELL_SEP}b"
+        assert serialize_table(payload) == \
+            "| h1 | h2 |\n|---|---|\n| a | b |"
+
+    def test_table_ragged_rows_padded(self):
+        payload = f"h1{CELL_SEP}h2{ROW_SEP}only"
+        assert serialize_table(payload) == \
+            "| h1 | h2 |\n|---|---|\n| only |  |"
+
+    def test_code_fence(self):
+        assert serialize_markdown([("code", "x = 1", "")]) == "```\nx = 1\n```"
+
+    def test_image_placeholder_mode(self):
+        assert serialize_markdown([("image", "", "img://1")]) == IMAGE_PLACEHOLDER
+
+    def test_image_referenced_mode(self):
+        md = serialize_markdown([("image", "", "img://1")],
+                                image_mode=IMAGE_MODE_REFERENCED)
+        assert md == "![](img://1)"
+
+    def test_page_break_placeholder_exact(self):
+        md = serialize_markdown([("text", "p1", ""), ("page_break", "", ""),
+                                 ("text", "p2", "")])
+        assert md == "p1" + PAGE_BREAK_PLACEHOLDER + "p2"
+
+    def test_empty(self):
+        assert serialize_markdown([]) == ""

@@ -1,0 +1,117 @@
+"""Unit tests for the oracle scalar kernel (SURVEY.md §2.8 F2,F4-F6).
+
+Adversarial strings per SURVEY §5.2: every invisible codepoint from the
+reference table (abc/abc.py:80-104), /uniXXXX escapes (abc/abc.py:73-79),
+U+FFFD (abc/abc.py:106), mojibake pairs (abc/abc.py:59-61 subset).
+"""
+
+import unicodedata
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from document_parser_spark.config import INVISIBLE_CODEPOINTS
+from document_parser_spark.refparser.textkernel import (
+    clean_and_fix,
+    clean_text,
+    fix_text,
+    normalize_nfc,
+    unescape_uni,
+)
+
+
+class TestUnescapeUni:
+    def test_basic(self):
+        assert unescape_uni("/uni0041") == "A"
+        assert unescape_uni("x/uni0416y") == "xЖy"
+
+    def test_case_insensitive_hex(self):
+        assert unescape_uni("/uni00e9") == "é"
+        assert unescape_uni("/uni00E9") == "é"
+
+    def test_invalid_left_as_is(self):
+        assert unescape_uni("/uniZZZZ") == "/uniZZZZ"
+        assert unescape_uni("/uni12") == "/uni12"
+        assert unescape_uni("/un i0041") == "/un i0041"
+
+    def test_adjacent(self):
+        assert unescape_uni("/uni0041/uni0042") == "AB"
+
+    def test_five_hex_digits_consumes_four(self):
+        # exactly 4 hex digits per the reference regex; 5th char remains
+        assert unescape_uni("/uni00411") == "A1"
+
+
+class TestCleanText:
+    def test_every_invisible_maps_to_one_space(self):
+        for ch in INVISIBLE_CODEPOINTS:
+            assert clean_text(f"a{ch}b") == "a b", hex(ord(ch))
+
+    def test_replacement_char_to_dot(self):
+        assert clean_text("a�b") == "a.b"
+
+    def test_order_uni_first(self):
+        # /uni00A0 produces NBSP which must then be mapped to space
+        assert clean_text("a/uni00A0b") == "a b"
+        # /uniFFFD produces the replacement char -> '.'
+        assert clean_text("a/uniFFFDb") == "a.b"
+
+    def test_newline_preserved(self):
+        assert clean_text("a\nb") == "a\nb"
+
+    def test_regular_text_untouched(self):
+        s = "Hello, Wörld! 你好 — em-dash stays."
+        assert clean_text(s) == s
+
+
+class TestFixText:
+    def test_double_encoded_utf8_cp1252(self):
+        assert fix_text("Ã©") == "é"
+        assert fix_text("Ð¿Ñ€Ð¸Ð²ÐµÑ‚") == "привет"
+
+    def test_clean_ascii_passthrough(self):
+        assert fix_text("plain ascii text") == "plain ascii text"
+
+    def test_legit_accents_untouched(self):
+        # é alone: 0xE9 is not a valid UTF-8 sequence start -> no repair
+        assert fix_text("café") == "café"
+
+    def test_two_rounds(self):
+        once = "é".encode("utf-8").decode("cp1252")       # 'Ã©'
+        twice = once.encode("utf-8").decode("cp1252")     # 'ÃƒÂ©'
+        assert fix_text(twice) == "é"
+
+    def test_latin1_fallback(self):
+        # a char valid in latin-1 region but absent from cp1252 mapping:
+        # 0x81 is undefined in cp1252 -> encode falls back to latin-1
+        broken = bytes([0xC2, 0x81]).decode("latin-1")  # 'Â\x81'
+        assert fix_text(broken) == "\x81"
+
+    @given(st.text(alphabet=st.characters(min_codepoint=0x400, max_codepoint=0x4FF),
+                   min_size=1, max_size=40))
+    def test_roundtrip_repairs_cyrillic(self, s):
+        broken = s.encode("utf-8").decode("latin-1")
+        assert fix_text(broken) == s
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz ,.!?", max_size=80))
+    def test_ascii_identity(self, s):
+        assert fix_text(s) == s
+
+
+class TestNfc:
+    def test_compose(self):
+        decomposed = unicodedata.normalize("NFD", "é")
+        assert normalize_nfc(decomposed) == "é"
+
+
+class TestCleanAndFix:
+    def test_call_site_order(self):
+        # clean_text precedes to_utf8 (pdf_parser.py:56-57)
+        s = "/uni0041 Ã© �"
+        assert clean_and_fix(s) == "A é ."
+
+    @given(st.text(max_size=200))
+    def test_idempotent_on_clean_output_for_plain(self, s):
+        out = clean_and_fix(s)
+        assert isinstance(out, str)
