@@ -1,0 +1,411 @@
+"""Batched HTML DOM parsing for Spark (`mapInPandas`) — the north-star's
+"batched DOM parsing over a flattened DOM-node Arrow table".
+
+Architecture (deliberately different from the recursive refparser oracle it is
+golden-tested against):
+  1. ``_FlatEmitter`` — a single-pass, event-driven tokenizer (stdlib
+     ``html.parser``) that never builds a tree. It emits FLAT row tables for
+     the whole Arrow batch: block metadata, inline text chunks (with link
+     attribution), code payloads, and table cells, each keyed by
+     (row_in_batch, block_seq).
+  2. Vectorized post-processing over those flat tables with pandas/numpy:
+     text cleaning (functions.cleaning, C-speed string ops over ALL chunks of
+     the batch at once), whitespace collapse, link-density boilerplate
+     classification, and cell/row/table assembly via ordered group-joins.
+
+Reference parity: reproduces the behavior of Docling HTML conversion + the
+reference's cleaning walk (html_parser.py:37-57) as specified by the
+refparser oracle; boilerplate thresholds in config.py.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from document_parser_spark.config import (
+    CELL_SEP,
+    DROP_TAGS,
+    HEADING_TAGS,
+    LINK_DENSITY_MAX,
+    MIN_BLOCK_CHARS_WITH_LINKS,
+    ROW_SEP,
+    VOID_TAGS,
+)
+from document_parser_spark.functions.cleaning import (
+    clean_and_fix_series,
+    collapse_series,
+)
+
+_BLOCK_TAGS = frozenset({
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "table",
+    "blockquote", "div", "article", "section", "main", "body", "html",
+    "ul", "ol", "tr", "td", "th", "thead", "tbody", "tfoot", "caption",
+    "figcaption", "figure", "details", "summary", "fieldset", "dl", "dt",
+    "dd", "address", "hgroup", "center",
+})
+_RUN_KINDS = ("text", "heading", "list_item")
+
+# frame effect codes
+_F_PLAIN, _F_DROP, _F_PRE, _F_LINK, _F_TABLE, _F_CELL, _F_INNER_TBL, _F_CONT = \
+    range(8)
+
+
+class _FlatEmitter(HTMLParser):
+    """One instance per Arrow batch; ``reset_doc`` re-arms it per input row.
+    Appends to shared flat column lists (meta/chunks/code/cells)."""
+
+    def __init__(self, out: dict) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out = out
+
+    def reset_doc(self, row_idx: int) -> None:
+        self.reset()
+        self.row = row_idx
+        self.seq = 0
+        self.tag_stack: list[tuple[str, int]] = []   # (tag, effect)
+        self.containers: list[tuple[str, str]] = []  # (type, media_ref)
+        self.drop_depth = 0
+        self.pre_depth = 0
+        self.link_depth = 0
+        self.code_buf: list[str] = []
+        self.tables: list[dict] = []                 # open-table frames
+        self.cur_chunks: list[tuple[str, bool]] = []
+
+    # -- emission -------------------------------------------------------
+
+    def _emit_meta(self, kind: str, media: str) -> int:
+        o = self.out
+        s = self.seq
+        self.seq += 1
+        o["m_row"].append(self.row)
+        o["m_seq"].append(s)
+        o["m_kind"].append(kind)
+        o["m_media"].append(media)
+        return s
+
+    def _flush(self, final: bool) -> None:
+        """Flush the current inline run. ``final`` = the innermost container
+        is ending (use its own kind); else a block child interrupts it (the
+        reference flushes those as plain text, list items excepted)."""
+        if not self.cur_chunks:
+            return
+        ctype, media = self.containers[-1] if self.containers else ("generic", "")
+        if ctype == "li":
+            kind, kmedia = "list_item", media
+        elif ctype == "heading" and final:
+            kind, kmedia = "heading", media
+        else:
+            kind, kmedia = "text", ""
+        s = self._emit_meta(kind, kmedia)
+        o = self.out
+        for i, (text, in_link) in enumerate(self.cur_chunks):
+            o["c_row"].append(self.row)
+            o["c_seq"].append(s)
+            o["c_ord"].append(i)
+            o["c_text"].append(text)
+            o["c_link"].append(in_link)
+        self.cur_chunks = []
+
+    def _emit_cell_chunk(self, text: str) -> None:
+        t = self.tables[-1]
+        o = self.out
+        o["t_row"].append(self.row)
+        o["t_seq"].append(t["seq"])
+        o["t_tr"].append(t["tr"])
+        o["t_cell"].append(t["cell"])
+        o["t_ord"].append(t["ord"])
+        o["t_text"].append(text)
+        t["ord"] += 1
+
+    # -- tag events ------------------------------------------------------
+
+    def _open(self, tag: str, attrs) -> int:
+        """Returns the effect code recorded for this frame."""
+        if self.drop_depth > 0 or tag in DROP_TAGS:
+            self.drop_depth += 1
+            return _F_DROP
+        if self.pre_depth > 0:
+            return _F_PLAIN
+        t = self.tables[-1] if self.tables else None
+        if t is not None:
+            if t["cell_open"] and t["inner"] == 0 or (t and t["inner"] > 0):
+                if tag == "table":
+                    t["inner"] += 1
+                    return _F_INNER_TBL
+                return _F_PLAIN
+            # inside table, between cells
+            if tag == "table":
+                # nested table directly under a table: invisible to output
+                self.drop_depth += 1
+                return _F_DROP
+            if tag == "tr":
+                t["tr"] += 1
+                t["cell"] = -1
+                return _F_PLAIN
+            if tag in ("td", "th") and t["tr"] >= 0:
+                t["cell"] += 1
+                t["cell_open"] = True
+                self._emit_cell_chunk("")  # presence marker (empty cells kept)
+                return _F_CELL
+            return _F_PLAIN
+        if tag == "pre":
+            self._flush(final=False)
+            self.pre_depth += 1
+            self.code_buf = []
+            return _F_PRE
+        if tag == "table":
+            self._flush(final=False)
+            self.tables.append({"seq": self._emit_meta("table", ""),
+                                "tr": -1, "cell": -1, "cell_open": False,
+                                "inner": 0, "ord": 0})
+            return _F_TABLE
+        if tag in ("ul", "ol"):
+            self._flush(final=False)
+            self.containers.append(("list", "o" if tag == "ol" else "u"))
+            return _F_CONT
+        if tag == "li":
+            self._flush(final=False)
+            if self.containers and self.containers[-1][0] == "list":
+                marker = self.containers[-1][1]
+                depth = sum(1 for c in self.containers if c[0] == "list") - 1
+                self.containers.append(("li", f"li:{marker}:{depth}"))
+            else:
+                self.containers.append(("generic", ""))
+            return _F_CONT
+        if tag in HEADING_TAGS:
+            self._flush(final=False)
+            self.containers.append(("heading", f"h{HEADING_TAGS[tag]}"))
+            return _F_CONT
+        if tag == "a":
+            self.link_depth += 1
+            return _F_LINK
+        if tag in _BLOCK_TAGS:
+            self._flush(final=False)
+            self.containers.append(("generic", ""))
+            return _F_CONT
+        return _F_PLAIN
+
+    def _close_effect(self, effect: int) -> None:
+        if effect == _F_DROP:
+            self.drop_depth -= 1
+        elif effect == _F_PRE:
+            self.pre_depth -= 1
+            if self.pre_depth == 0:
+                text = "".join(self.code_buf)
+                if text.strip():
+                    s = self._emit_meta("code", "")
+                    o = self.out
+                    o["k_row"].append(self.row)
+                    o["k_seq"].append(s)
+                    o["k_text"].append(text)
+        elif effect == _F_LINK:
+            self.link_depth -= 1
+        elif effect == _F_TABLE:
+            if self.tables:
+                self.tables.pop()
+        elif effect == _F_CELL:
+            if self.tables:
+                self.tables[-1]["cell_open"] = False
+        elif effect == _F_INNER_TBL:
+            if self.tables:
+                self.tables[-1]["inner"] -= 1
+        elif effect == _F_CONT:
+            self._flush(final=True)
+            self.containers.pop()
+
+    # -- HTMLParser callbacks ---------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            self._handle_void(tag, attrs)
+            return
+        effect = self._open(tag, attrs)
+        self.tag_stack.append((tag, effect))
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            self._handle_void(tag, attrs)
+        else:
+            effect = self._open(tag, attrs)
+            self._close_effect(effect)
+
+    def _handle_void(self, tag, attrs):
+        if self.drop_depth > 0 or self.pre_depth > 0:
+            return
+        t = self.tables[-1] if self.tables else None
+        if tag == "img":
+            if t is not None:
+                return  # images inside tables are not emitted (oracle parity)
+            if self.containers and self.containers[-1][0] == "list" :
+                return  # img directly under ul/ol: skipped
+            self._flush(final=False)
+            src = next((v for k, v in attrs if k == "src"), "") or ""
+            self._emit_meta("image", src)
+        elif tag == "br":
+            if t is not None:
+                if t["cell_open"]:
+                    self._emit_cell_chunk(" ")
+                return
+            if self.containers and self.containers[-1][0] == "list":
+                return
+            self.cur_chunks.append((" ", False))
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        stack = self.tag_stack
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][0] == tag:
+                for j in range(len(stack) - 1, i - 1, -1):
+                    self._close_effect(stack[j][1])
+                del stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        if not data or self.drop_depth > 0:
+            return
+        if self.pre_depth > 0:
+            self.code_buf.append(data)
+            return
+        t = self.tables[-1] if self.tables else None
+        if t is not None:
+            if t["cell_open"]:
+                self._emit_cell_chunk(data)
+            return
+        if self.containers and self.containers[-1][0] == "list":
+            return
+        self.cur_chunks.append((data, self.link_depth > 0))
+
+    def finish(self) -> None:
+        for j in range(len(self.tag_stack) - 1, -1, -1):
+            self._close_effect(self.tag_stack[j][1])
+        self.tag_stack = []
+        self._flush(final=True)
+
+
+def _new_out() -> dict:
+    return {k: [] for k in (
+        "m_row", "m_seq", "m_kind", "m_media",
+        "c_row", "c_seq", "c_ord", "c_text", "c_link",
+        "k_row", "k_seq", "k_text",
+        "t_row", "t_seq", "t_tr", "t_cell", "t_ord", "t_text",
+    )}
+
+
+def parse_html_rows(htmls: pd.Series) -> pd.DataFrame:
+    """Parse a batch of HTML strings -> flat block table
+    ``(row, seq, kind, text, media_ref)`` sorted by (row, seq). ``row`` is the
+    positional index into ``htmls``. All text processing is vectorized across
+    the whole batch."""
+    out = _new_out()
+    emitter = _FlatEmitter(out)
+    for i, html in enumerate(htmls):
+        if html is None or html == "":
+            continue
+        emitter.reset_doc(i)
+        try:
+            emitter.feed(html)
+            emitter.close()
+        except Exception:
+            pass  # keep whatever was emitted before the error
+        emitter.finish()
+
+    frames: list[pd.DataFrame] = []
+
+    meta = pd.DataFrame({"row": out["m_row"], "seq": out["m_seq"],
+                         "kind": out["m_kind"], "media_ref": out["m_media"]})
+
+    # ---- inline runs: clean, link-score, collapse, classify (vectorized)
+    if out["c_row"]:
+        cdf = pd.DataFrame({"row": out["c_row"], "seq": out["c_seq"],
+                            "ord": out["c_ord"], "text": out["c_text"],
+                            "link": out["c_link"]})
+        cdf["clean"] = clean_and_fix_series(cdf["text"])
+        link_len = collapse_series(cdf["clean"]).str.len()
+        cdf["link_chars"] = np.where(cdf["link"], link_len, 0)
+        cdf = cdf.sort_values(["row", "seq", "ord"], kind="stable")
+        runs = (cdf.groupby(["row", "seq"], sort=False)
+                .agg(text=("clean", "".join), links=("link_chars", "sum"))
+                .reset_index())
+        runs["text"] = collapse_series(runs["text"])
+        n = runs["text"].str.len()
+        boiler = ((runs["links"] > 0) & (n < MIN_BLOCK_CHARS_WITH_LINKS)) | \
+                 ((n > 0) & (runs["links"] / n.where(n > 0, 1) > LINK_DENSITY_MAX))
+        runs = runs[(n > 0) & ~boiler]
+        run_meta = meta[meta["kind"].isin(_RUN_KINDS)]
+        frames.append(run_meta.merge(runs[["row", "seq", "text"]],
+                                     on=["row", "seq"], how="inner"))
+
+    # ---- code blocks: clean, strip edge newlines, keep if non-blank
+    if out["k_row"]:
+        kdf = pd.DataFrame({"row": out["k_row"], "seq": out["k_seq"],
+                            "text": out["k_text"]})
+        kdf["text"] = clean_and_fix_series(kdf["text"]).str.strip("\n")
+        kdf = kdf[kdf["text"].str.strip() != ""]
+        kdf["kind"] = "code"
+        kdf["media_ref"] = ""
+        frames.append(kdf[["row", "seq", "kind", "media_ref", "text"]])
+
+    # ---- tables: cell join -> collapse -> row join -> table join
+    if out["t_row"]:
+        tdf = pd.DataFrame({"row": out["t_row"], "seq": out["t_seq"],
+                            "tr": out["t_tr"], "cell": out["t_cell"],
+                            "ord": out["t_ord"], "text": out["t_text"]})
+        tdf["clean"] = clean_and_fix_series(tdf["text"])
+        tdf = tdf.sort_values(["row", "seq", "tr", "cell", "ord"], kind="stable")
+        cells = (tdf.groupby(["row", "seq", "tr", "cell"], sort=False)["clean"]
+                 .agg("".join).reset_index(name="cell_text"))
+        cells["cell_text"] = collapse_series(cells["cell_text"])
+        rows = (cells.groupby(["row", "seq", "tr"], sort=False)["cell_text"]
+                .agg(CELL_SEP.join).reset_index(name="row_text"))
+        tables = (rows.groupby(["row", "seq"], sort=False)["row_text"]
+                  .agg(ROW_SEP.join).reset_index(name="text"))
+        tables["kind"] = "table"
+        tables["media_ref"] = ""
+        frames.append(tables[["row", "seq", "kind", "media_ref", "text"]])
+
+    # ---- images pass through
+    imgs = meta[meta["kind"] == "image"].copy()
+    if len(imgs):
+        imgs["text"] = ""
+        frames.append(imgs[["row", "seq", "kind", "media_ref", "text"]])
+
+    if not frames:
+        return pd.DataFrame(columns=["row", "seq", "kind", "text", "media_ref"])
+    blocks = pd.concat(frames, ignore_index=True)
+    blocks = blocks.sort_values(["row", "seq"], kind="stable").reset_index(drop=True)
+    return blocks[["row", "seq", "kind", "text", "media_ref"]]
+
+
+def html_branch(exploded_df):
+    """Spark stage: exploded html spans -> parsed-span rows (PARSED_SCHEMA).
+
+    Input columns: doc_id, offset (span offset), text (the HTML payload).
+    ord0 = input span offset, ord1 = block rank within the span.
+    """
+    from document_parser_spark.schema import PARSED_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blocks = parse_html_rows(pdf["text"].reset_index(drop=True))
+            if blocks.empty:
+                continue
+            ord1 = blocks.groupby("row", sort=False).cumcount()
+            idx = blocks["row"].to_numpy()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[idx],
+                "ord0": pdf["offset"].to_numpy()[idx].astype("int32"),
+                "ord1": ord1.to_numpy().astype("int32"),
+                "kind": blocks["kind"].to_numpy(),
+                "text": blocks["text"].to_numpy(),
+                "media_ref": blocks["media_ref"].to_numpy(),
+            })
+
+    return exploded_df.mapInPandas(run, schema=PARSED_SCHEMA)

@@ -1,0 +1,125 @@
+"""Batched markdown serialization for Spark (SURVEY.md §2.9 F10-F15).
+
+A scalar pandas UDF over the reassembled ``spans`` array column. Inside each
+Arrow batch the spans of ALL documents are flattened into one table; chunk
+rendering (heading prefixes, list bullets, fences, placeholders) and the
+separator logic (blank line, list adjacency, page-break placeholder) are
+computed as vectorized numpy selects; the final markdown strings come from a
+single ordered group-join. Tables (rare) render via a per-span map.
+
+Golden-tested against refparser.serialize; placeholders in config.py
+(page break: abc/abc.py:30, image placeholder mode: abc/abc.py:27).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from document_parser_spark.config import (
+    IMAGE_MODE_PLACEHOLDER,
+    IMAGE_PLACEHOLDER,
+    PAGE_BREAK_PLACEHOLDER,
+)
+from document_parser_spark.refparser.serialize import serialize_table
+
+
+def serialize_batch(spans_series: pd.Series, image_mode: str) -> pd.Series:
+    """Series of span lists (dicts with kind/text/media_ref, already in final
+    order) -> Series of markdown strings."""
+    doc_idx: list[int] = []
+    kinds: list[str] = []
+    texts: list[str] = []
+    medias: list[str] = []
+    for i, spans in enumerate(spans_series):
+        if spans is None:
+            continue
+        for sp in spans:
+            doc_idx.append(i)
+            kinds.append(sp["kind"])
+            texts.append(sp["text"] or "")
+            medias.append(sp["media_ref"] or "")
+
+    n_docs = len(spans_series)
+    if not doc_idx:
+        return pd.Series([""] * n_docs, dtype="object")
+
+    df = pd.DataFrame({"doc": doc_idx, "kind": kinds, "text": texts,
+                       "media": medias})
+    kind = df["kind"].to_numpy()
+    text = df["text"].astype("object")
+    media = df["media"].astype("object")
+
+    rendered = text.copy()
+
+    m = kind == "heading"
+    if m.any():
+        levels = (media[m].str.extract(r"^h([1-6])$", expand=False)
+                  .fillna("1").astype(int))
+        rendered[m] = levels.map(lambda v: "#" * v) + " " + text[m]
+
+    m = kind == "list_item"
+    if m.any():
+        parts = media[m].str.split(":", expand=True)
+        if parts.shape[1] < 3:
+            for k in range(parts.shape[1], 3):
+                parts[k] = None
+        marker = parts[1].fillna("u")
+        depth = pd.to_numeric(parts[2], errors="coerce").fillna(0).astype(int)
+        bullet = np.where(marker == "o", "1.", "-")
+        indent = depth.map(lambda d: "  " * max(int(d), 0))
+        rendered[m] = indent + bullet + " " + text[m]
+
+    m = kind == "table"
+    if m.any():
+        rendered[m] = text[m].map(serialize_table)
+
+    m = kind == "code"
+    if m.any():
+        rendered[m] = "```\n" + text[m] + "\n```"
+
+    m = kind == "image"
+    if m.any():
+        if image_mode == IMAGE_MODE_PLACEHOLDER:
+            rendered[m] = IMAGE_PLACEHOLDER
+        else:
+            rendered[m] = "![](" + media[m] + ")"
+
+    is_pb = kind == "page_break"
+    rendered[is_pb] = PAGE_BREAK_PLACEHOLDER
+
+    # drop blocks that rendered empty (e.g. a table payload with no rows)
+    keep = is_pb | (rendered.to_numpy() != "")
+    df = df[keep]
+    rendered = rendered[keep]
+    kind = df["kind"].to_numpy()
+    is_pb = kind == "page_break"
+    doc = df["doc"].to_numpy()
+
+    # separators: none for the first block of a page (doc start or after a
+    # page break), '\n' between adjacent list items, blank line otherwise
+    first_of_doc = np.ones(len(df), dtype=bool)
+    first_of_doc[1:] = doc[1:] != doc[:-1]
+    prev_kind = np.roll(kind, 1)
+    after_pb = np.zeros(len(df), dtype=bool)
+    after_pb[1:] = is_pb[:-1]
+    list_adj = (kind == "list_item") & (prev_kind == "list_item")
+    sep = np.where(first_of_doc | after_pb | is_pb, "",
+                   np.where(list_adj, "\n", "\n\n"))
+
+    parts = pd.Series(sep, index=rendered.index, dtype="object") + rendered
+    md = parts.groupby(doc).agg("".join)
+
+    out = pd.Series([""] * n_docs, dtype="object")
+    out.iloc[md.index] = md.to_numpy()
+    return out
+
+
+def make_serialize_udf(image_mode: str = IMAGE_MODE_PLACEHOLDER):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def serialize_markdown_udf(spans: pd.Series) -> pd.Series:
+        return serialize_batch(spans, image_mode)
+
+    return serialize_markdown_udf

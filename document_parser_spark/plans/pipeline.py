@@ -1,0 +1,144 @@
+"""The end-to-end extraction plan (SURVEY.md §3.1 restated Spark-first).
+
+    read span table
+      ├─ PDF family: prune spans to pdf_line, doc-level mapInPandas layout
+      │  parse (no explode needed — reading order is a doc-level computation)
+      └─ everything else: posexplode(filter(spans, kind != 'pdf_line'))
+           ├─ text:    vectorized clean kernel, drop blank
+           ├─ image:   passthrough (media_ref preserved verbatim)
+           ├─ html:    batched DOM parse (mapInPandas)
+           └─ unknown: parse-failure rows (never throw — A4)
+      + one presence marker per doc (so fully-dropped docs surface as 'empty')
+    -> unionByName -> salted ordered reassembly -> serializer UDF -> output
+
+All branches emit PARSED_SCHEMA; every stage is a narrow map over the explode
+except the single reassembly shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from document_parser_spark.config import (
+    DEFAULT_SALT_BUCKETS,
+    IMAGE_MODE_PLACEHOLDER,
+    INPUT_KINDS,
+    STATUS_EMPTY,
+    STATUS_OK,
+    STATUS_PARSE_FAILURE,
+)
+from document_parser_spark.functions.cleaning import make_clean_udf
+from document_parser_spark.operators.html_parse import html_branch
+from document_parser_spark.operators.pdf_parse import pdf_branch
+from document_parser_spark.operators.reassemble import DOC_MARKER_KIND, reassemble
+from document_parser_spark.operators.serialize import make_serialize_udf
+from document_parser_spark.schema import FAIL_KIND
+
+_I32_MIN = -2147483648
+
+
+def explode_spans(df: DataFrame, exclude_pdf: bool = True) -> DataFrame:
+    """posexplode(spans) -> one row per span (the iterate_items analogue)."""
+    spans = (F.filter("spans", lambda s: s["kind"] != "pdf_line")
+             if exclude_pdf else F.col("spans"))
+    return (
+        df.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+        .select(
+            "doc_id", "pos",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
+def parse_all_branches(df: DataFrame) -> DataFrame:
+    """Input docs -> union of per-kind parsed rows (PARSED_SCHEMA)."""
+    clean_udf = make_clean_udf()
+
+    exploded = explode_spans(df, exclude_pdf=True)
+
+    text_rows = (
+        exploded.filter(F.col("kind") == "text")
+        .withColumn("_clean", clean_udf("text"))
+        .filter(F.col("_clean").isNotNull() & ~F.col("_clean").rlike(r"(?U)^\s*$"))
+        .select(
+            "doc_id",
+            F.col("offset").alias("ord0"),
+            F.lit(0).alias("ord1"),
+            F.lit("text").alias("kind"),
+            F.col("_clean").alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+    )
+
+    image_rows = exploded.filter(F.col("kind") == "image").select(
+        "doc_id",
+        F.col("offset").alias("ord0"),
+        F.lit(0).alias("ord1"),
+        F.lit("image").alias("kind"),
+        F.lit("").alias("text"),
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+    )
+
+    html_rows = html_branch(
+        exploded.filter(F.col("kind") == "html").select("doc_id", "offset", "text")
+    )
+
+    unknown_rows = (
+        exploded.filter(~F.col("kind").isin(*INPUT_KINDS))
+        .select(
+            "doc_id",
+            F.col("offset").alias("ord0"),
+            F.lit(0).alias("ord1"),
+            F.lit(FAIL_KIND).alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+    )
+
+    pdf_docs = (
+        df.filter(F.exists("spans", lambda s: s["kind"] == "pdf_line"))
+        .select("doc_id",
+                F.filter("spans", lambda s: s["kind"] == "pdf_line").alias("spans"))
+    )
+    pdf_rows = pdf_branch(pdf_docs)
+
+    # presence marker: exactly one per input doc, stripped during reassembly
+    marker_rows = df.select(
+        "doc_id",
+        F.lit(_I32_MIN).alias("ord0"),
+        F.lit(0).alias("ord1"),
+        F.lit(DOC_MARKER_KIND).alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+    return (
+        text_rows.unionByName(image_rows).unionByName(html_rows)
+        .unionByName(unknown_rows).unionByName(pdf_rows)
+        .unionByName(marker_rows)
+    )
+
+
+def extract(
+    df: DataFrame,
+    image_mode: str = IMAGE_MODE_PLACEHOLDER,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salted: bool = True,
+) -> DataFrame:
+    """Full pipeline: input span table -> DOCUMENTS_OUT_SCHEMA
+    (doc_id, spans, markdown, status) + n_failures column for lineage."""
+    parsed = parse_all_branches(df)
+    docs = reassemble(parsed, salt_buckets=salt_buckets, salted=salted)
+    serialize_udf = make_serialize_udf(image_mode)
+    return docs.select(
+        "doc_id",
+        "spans",
+        serialize_udf("spans").alias("markdown"),
+        F.when(F.col("n_failures") > 0, F.lit(STATUS_PARSE_FAILURE))
+        .when(F.size("spans") == 0, F.lit(STATUS_EMPTY))
+        .otherwise(F.lit(STATUS_OK)).alias("status"),
+        "n_failures",
+    )

@@ -1,0 +1,76 @@
+"""Property tests (SURVEY.md §5.4): reassembly order invariants under
+salting, partitioning, and input-row permutation; oracle parity on a sample
+of the generated scale corpus (families the goldens don't hand-cover)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_parser_spark.refparser.parse import parse_document
+from document_parser_spark.sources.synth import generate_doc, synth_dataframe
+
+N_SAMPLE = 60
+
+
+def _collect(df):
+    rows = df.collect()
+    return {
+        r["doc_id"]: (
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]],
+            r["markdown"], r["status"], r["n_failures"],
+        )
+        for r in rows
+    }
+
+
+@pytest.fixture(scope="module")
+def synth_df(spark):
+    return synth_dataframe(spark, N_SAMPLE, partitions=4).cache()
+
+
+def test_synth_corpus_matches_oracle(spark, synth_df):
+    """Pipeline == oracle on generated docs (html/pdf/mixed/text mix with
+    dirty text injections)."""
+    from document_parser_spark.plans.pipeline import extract
+
+    got = _collect(extract(synth_df))
+    assert len(got) == N_SAMPLE
+    for idx in range(N_SAMPLE):
+        doc_id, spans, _, _ = generate_doc(idx)
+        want = parse_document(doc_id, spans)
+        assert got[doc_id][0] == want.spans, doc_id
+        assert got[doc_id][1] == want.markdown, doc_id
+        assert got[doc_id][2] == want.status, doc_id
+
+
+def test_salted_equals_unsalted(spark, synth_df):
+    from document_parser_spark.plans.pipeline import extract
+
+    salted = _collect(extract(synth_df, salted=True, salt_buckets=7))
+    unsalted = _collect(extract(synth_df, salted=False))
+    assert salted == unsalted
+
+
+def test_partitioning_invariance(spark):
+    """Union of per-partition outputs == single-partition output."""
+    from document_parser_spark.plans.pipeline import extract
+
+    one = _collect(extract(synth_dataframe(spark, 30, partitions=1)))
+    many = _collect(extract(synth_dataframe(spark, 30, partitions=13)
+                            .repartition(13)))
+    assert one == many
+
+
+def test_input_span_order_permutation(spark):
+    """Span order inside the input array must not matter (order is carried by
+    `offset`, the only order carrier after any shuffle)."""
+    from document_parser_spark.plans.pipeline import extract
+
+    df = synth_dataframe(spark, 20, partitions=2)
+    shuffled = df.withColumn("spans", F.reverse("spans"))
+    assert _collect(extract(df)) == _collect(extract(shuffled))
+
+
+def test_determinism(spark, synth_df):
+    from document_parser_spark.plans.pipeline import extract
+
+    assert _collect(extract(synth_df)) == _collect(extract(synth_df))
