@@ -1,0 +1,305 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Scale design (the point of each shape):
+
+* **exact** — one hash-groupBy; the md5 key is computed map-side so
+  the shuffle carries 32 bytes + doc_id per row, never the text.
+* **n-gram Jaccard** — candidate pairs come from an equi-join on
+  shared shingles (never a cross join); at 100 TB you'd pre-filter to
+  rare shingles (document frequency cap) — exposed as ``max_df``.
+* **MinHash+LSH** — signature is H=16 portable 60-bit min-hashes,
+  banded 4x4; candidates = equi-join on (band, band_signature), which
+  Spark executes as one shuffle on a short string key. Verification
+  re-joins shingles only for candidate pairs.
+* **SimHash** — 60-bit weighted-bit-majority fingerprint; the
+  built-in formulation (explode words x bits) is oracle-portable, and
+  ``simhash_fast`` is the production path (numpy bit-unpack inside a
+  pandas UDF, one pass, no 60x row blowup).
+* **embedding near-dup** — sign-LSH bucket equi-join then exact
+  cosine inside buckets; never an all-pairs cross join.
+
+All thresholds/params live here so the DuckDB oracles in
+``__spark_entry__.py`` quote the same constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from document_parser_spark.ops.hashing import hash_col
+
+SHINGLE_N = 3
+MINHASH_HASHERS = 16
+MINHASH_BANDS = 4          # 4 bands x 4 rows
+JACCARD_THRESHOLD = 0.25
+SIMHASH_BITS = 60
+NEARDUP_COSINE = 0.45
+SIGN_LSH_DIMS = (3, 11, 19, 27, 35, 43, 51, 59)
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    -> (fp, n_copies, keep_id) for groups with >1 member; ``keep_id``
+    is the deterministic survivor (min doc_id).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("long").alias("n_copies"),
+             F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles -> (doc_id, sh). Computed with
+    array built-ins (sequence+transform), no explode-then-window."""
+    w = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(w) - n)  # empty-safe via when()
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int"))
+                                     for j in range(n)]),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.when(F.size(w) >= n, sh)
+                      .otherwise(F.array().cast("array<string>"))).alias("sh"))
+        .distinct()
+    )
+
+
+def _jaccard_from_candidates(sh: DataFrame, cand: DataFrame,
+                             threshold: float) -> DataFrame:
+    """cand(ida, idb) -> (ida, idb, jaccard) verified >= threshold."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        cand
+        .join(sh.select(F.col("doc_id").alias("ida"), "sh"), "ida")
+        .join(sh.select(F.col("doc_id").alias("idb"), "sh"), ["idb", "sh"])
+        .groupBy("ida", "idb").agg(F.count("*").cast("long").alias("i"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("ida"),
+                           F.col("n").alias("na")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"),
+                           F.col("n").alias("nb")), "idb")
+        .select(
+            "ida", "idb",
+            F.round(F.col("i").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+                    3).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
+                        threshold: float = JACCARD_THRESHOLD,
+                        max_df: int | None = None) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via shared-shingle
+    candidate join. ``max_df`` drops shingles appearing in more than
+    that many docs before pairing (the 100 TB knob: a stopword shingle
+    would otherwise create a quadratic hot key — classic skew)."""
+    sh = shingles(docs, n)
+    pair_src = sh
+    if max_df is not None:
+        rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("sh"))
+        pair_src = sh.join(rare, "sh")
+    cand = (
+        pair_src.alias("a")
+        .join(pair_src.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"),
+                F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    return _jaccard_from_candidates(sh, cand, threshold)
+
+
+def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N,
+                       hashers: int = MINHASH_HASHERS,
+                       fast_hash: bool = False) -> DataFrame:
+    """(doc_id, k, mv): min over shingles of h60(k || '|' || shingle)
+    for each of ``hashers`` hash functions."""
+    sh = shingles(docs, n)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(hashers - 1))).alias("k")
+    return (
+        sh.select("doc_id", "sh", ks)
+        .select("doc_id", "k",
+                hash_col(F.concat(F.col("k").cast("string"),
+                                  F.lit("|"), F.col("sh")),
+                         fast=fast_hash).alias("hv"))
+        .groupBy("doc_id", "k").agg(F.min("hv").alias("mv"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = SHINGLE_N,
+                      hashers: int = MINHASH_HASHERS,
+                      bands: int = MINHASH_BANDS,
+                      threshold: float = JACCARD_THRESHOLD,
+                      fast_hash: bool = False) -> DataFrame:
+    """MinHash signatures -> banded LSH candidates -> exact-Jaccard
+    verification. -> (ida, idb, jaccard)."""
+    rows_per_band = hashers // bands
+    mh = minhash_signatures(docs, n, hashers, fast_hash)
+    band_sig = (
+        mh.withColumn("band", F.floor(F.col("k") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(
+            ",", F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "mv"))),
+                lambda s: s["mv"].cast("string")))).alias("sig"))
+    )
+    cand = (
+        band_sig.alias("a")
+        .join(band_sig.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"),
+                F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    return _jaccard_from_candidates(shingles(docs, n), cand, threshold)
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
+            fast_hash: bool = False) -> DataFrame:
+    """Term-frequency-weighted SimHash -> (doc_id, simhash:long).
+
+    Oracle-portable formulation: words x bit positions, weighted bit
+    majority per position. 60x row fan-out — fine for verification
+    tiers; use ``simhash_fast`` in production."""
+    w = F.explode(F.split(F.col("text"), " ")).alias("w")
+    wh = (
+        docs.select("doc_id", w)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select("doc_id", hash_col(F.col("w"), fast=fast_hash).alias("h"),
+                "cnt")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    return (
+        wh.select("doc_id", "h", "cnt", j)
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.when(F.expr("(shiftright(h, j) & 1) = 1"),
+                          F.col("cnt")).otherwise(-F.col("cnt")))
+             .alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("s") > 0,
+                          F.expr("shiftleft(cast(1 as bigint), j)"))
+                   .otherwise(F.lit(0).cast("long")))
+             .cast("long").alias("simhash"))
+    )
+
+
+def simhash_fast(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Production SimHash: one pandas-UDF pass, numpy bit matrix per
+    Arrow batch — no row fan-out, no shuffle until (none). Matches
+    ``simhash(fast_hash=False)`` bit-for-bit (same md5-derived word
+    hashes) — asserted in tests."""
+    import hashlib
+
+    @F.pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words, counts = np.unique((t or "").split(" "),
+                                      return_counts=True)
+            hs = np.array(
+                [int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                 for w in words], dtype=np.int64)
+            # bits x words sign matrix, weighted by term frequency
+            bitmat = ((hs[None, :] >> np.arange(bits)[:, None]) & 1)
+            score = ((bitmat * 2 - 1) * counts[None, :]).sum(axis=1)
+            out[i] = int(((score > 0).astype(np.int64)
+                          << np.arange(bits)).sum())
+        return pd.Series(out)
+
+    return docs.select("doc_id", sh("text").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidate-pruned by
+    block keys (split the fingerprint into max_hamming+1 blocks; any
+    pair within distance must share one block — pigeonhole)."""
+    sig = simhash_fast(docs, bits)
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    blk = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk")
+    keyed = sig.select(
+        "doc_id", "simhash", blk).select(
+        "doc_id", "simhash", "blk",
+        F.expr(f"shiftright(simhash, blk * {block_bits}) "
+               f"& {(1 << block_bits) - 1}").alias("key"))
+    cand = (
+        keyed.alias("a").join(keyed.alias("b"), ["blk", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"),
+                F.col("b.doc_id").alias("idb"),
+                F.col("a.simhash").alias("sa"),
+                F.col("b.simhash").alias("sb"))
+        .distinct()
+    )
+    return (
+        cand.select(
+            "ida", "idb",
+            F.expr("bit_count(sa ^ sb)").cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _cosine(a, b) -> F.Column:
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def sign_bucket(vec_col: F.Column,
+                dims: tuple[int, ...] = SIGN_LSH_DIMS) -> F.Column:
+    """Axis-sign LSH bucket id (oracle-portable: one CASE per dim)."""
+    b = F.lit(0)
+    for i, d in enumerate(dims):
+        b = b + F.when(F.element_at(vec_col, d + 1) >= 0,
+                       F.lit(1 << i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def embedding_neardup_pairs(emb: DataFrame,
+                            threshold: float = NEARDUP_COSINE,
+                            dims: tuple[int, ...] = SIGN_LSH_DIMS,
+                            prefilter: bool = True) -> DataFrame:
+    """Near-duplicate embedding pairs: sign-LSH bucket equi-join (or
+    full pairs when prefilter=False) -> exact cosine >= threshold.
+    -> (ia, ib, sim). ``emb`` must have (vec_id, embedding)."""
+    v = emb.select("vec_id", "embedding",
+                   sign_bucket(F.col("embedding"), dims).alias("bkt"))
+    join_keys = ["bkt"] if prefilter else []
+    a = v.select(F.col("vec_id").alias("ia"),
+                 F.col("embedding").alias("ea"),
+                 F.col("bkt").alias("bkt"))
+    b = v.select(F.col("vec_id").alias("ib"),
+                 F.col("embedding").alias("eb"),
+                 F.col("bkt").alias("bkt"))
+    pairs = (a.join(b, join_keys) if join_keys
+             else a.crossJoin(b.drop("bkt")))
+    return (
+        pairs.filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib",
+                F.round(_cosine(F.col("ea"), F.col("eb")), 3).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
