@@ -1,0 +1,98 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding near-dup — planted duplicates must be found, approximate
+paths must agree with their exact counterparts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_parser_spark.ops import dedup as dd
+
+BASE = ("the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster ring")
+NEAR = BASE.replace("lazy", "sleepy")  # 1-word edit -> high jaccard
+OTHER = ("completely different content about markdown serialization "
+         "and ordered span reassembly with salted aggregation phases")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE), (2, BASE),          # exact dups
+        (3, NEAR),                      # near-dup of 1/2
+        (4, OTHER),
+        (5, "tiny doc"),                # < shingle size
+        (6, "  " + BASE.upper() + "  ")  # exact dup after normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dd.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_copies == 3          # 1, 2 and case/space-normalized 6
+    assert g.keep_id == 1
+
+
+def test_shingles_small_doc_safe(docs):
+    sh = dd.shingles(docs).filter(F.col("doc_id") == 5).count()
+    assert sh == 0  # 2 words < n=3 -> no shingles, no error
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.ida, r.idb): r.jaccard
+             for r in dd.ngram_jaccard_pairs(docs, threshold=0.25).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_subset_of_exact(docs):
+    exact = {(r.ida, r.idb) for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.25).collect()}
+    lsh = {(r.ida, r.idb) for r in
+           dd.minhash_lsh_pairs(docs, threshold=0.25).collect()}
+    assert lsh <= exact
+    # identical docs collide in every band -> always caught
+    assert (1, 2) in lsh
+
+
+def test_simhash_fast_matches_portable(docs):
+    slow = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    fast = {r.doc_id: r.simhash for r in dd.simhash_fast(docs).collect()}
+    assert slow == fast
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    sig = {r.doc_id: r.simhash for r in dd.simhash_fast(docs).collect()}
+    assert sig[1] == sig[2]
+    pairs = {(r.ida, r.idb): r.hamming
+             for r in dd.simhash_pairs(docs, max_hamming=30).collect()}
+    assert pairs[(1, 2)] == 0
+    assert 0 < pairs[(1, 3)] <= 30
+
+
+def test_embedding_neardup_prefilter_subset(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    rows = []
+    for i in range(40):
+        v = rng.randn(64)
+        rows.append((i, [float(x) for x in v]))
+    # plant a near-dup pair (ids 100, 101)
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + rng.randn(64) * 0.05]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = {(r.ia, r.ib) for r in
+            dd.embedding_neardup_pairs(emb, threshold=0.9,
+                                       prefilter=False).collect()}
+    pre = {(r.ia, r.ib) for r in
+           dd.embedding_neardup_pairs(emb, threshold=0.9).collect()}
+    assert (100, 101) in full
+    assert pre <= full
+    # a 0.95-cosine pair flips a sign bit with low prob; planted pair
+    # must survive the 8-bit prefilter here (deterministic seed)
+    assert (100, 101) in pre

@@ -1,0 +1,61 @@
+"""ANN operator tests: brute-force is the ground truth; LSH/IVF are
+approximate but must keep the planted neighbors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from document_parser_spark.ops import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(200)]
+    q = np.array(rows[0][1])
+    # plant a near neighbor of vec 0
+    rows.append((999, [float(x) for x in q + rng.randn(64) * 0.05]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).head().embedding]
+
+
+def test_exact_topk_self_first(emb, query):
+    top = sim.cosine_to_query(emb, query, k=3).collect()
+    assert top[0].vec_id == 0 and top[0].sim == 1.0
+    assert top[1].vec_id == 999 and top[1].sim > 0.95
+
+
+def test_pandas_bruteforce_matches_exact(emb, query):
+    exact = [(r.vec_id, r.sim) for r in
+             sim.cosine_to_query(emb, query, k=10).collect()]
+    fast = [(r.vec_id, r.sim) for r in
+            sim.knn_bruteforce_pandas(emb, query, k=10).collect()]
+    assert exact == fast
+
+
+def test_lsh_probe_keeps_planted_neighbor(emb, query):
+    got = [r.vec_id for r in sim.ann_search_lsh(emb, query, k=5).collect()]
+    assert got[0] == 0
+    assert 999 in got  # 0.95-cosine neighbor shares the bucket or a
+    # hamming-1 neighbor of it (radius-1 probe)
+
+
+def test_ivf_recall(emb, query):
+    exact = {r.vec_id for r in sim.cosine_to_query(emb, query, k=5).collect()}
+    ivf = {r.vec_id for r in sim.ivf_search(emb, query, k=5,
+                                            n_centroids=8,
+                                            n_probe=3).collect()}
+    assert 0 in ivf and 999 in ivf
+    assert len(ivf & exact) >= 3
+
+
+def test_bucket_histogram_total(emb):
+    hist = sim.bucket_histogram(emb).agg(F.sum("n_vecs")).head()[0]
+    assert hist == emb.count()

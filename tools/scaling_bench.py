@@ -1,0 +1,154 @@
+"""Two-cluster-size scaling evidence (BASELINE.md §3).
+
+No multi-node cluster exists in this sandbox, so the north rule's
+N-vs-4N-executor criterion is evidenced by running the IDENTICAL
+spark-submit job on the SAME materialized input at two local
+parallelism levels (local[8] vs local[32]) and reporting throughput
+at both plus ``eff = (T8/T32)/4``.
+
+Usage:
+    python tools/scaling_bench.py prepare <n_docs>   # write input once
+    python tools/scaling_bench.py run <master> <in_dir> <out_dir>
+    python tools/scaling_bench.py all [n_docs]       # full protocol -> md
+
+``run`` executes the full pipeline (read parquet -> extract ->
+write parquet output + lineage) — the same dataflow ``bin/extract.py``
+submits, timed after a warm-up pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+INPUT_DIR = "/tmp/scaling_input"
+RESULTS = "/tmp/scaling_results"
+
+
+def _session(master: str, cores: int):
+    from pyspark.sql import SparkSession
+    # shuffle partitions sized by DATA (AQE coalesces down as needed),
+    # never by core count: with partitions == cores the reassembly
+    # collect_list state per reducer grows with 1/cores and the small
+    # run spills/GC-thrashes — the measured "super-linear scaling" that
+    # results is an artifact, not a property of the job.
+    return (
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", "256")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .appName(f"scaling-{master}")
+        .getOrCreate()
+    )
+
+
+def prepare(n_docs: int) -> None:
+    from document_parser_spark.sources.synth import synth_dataframe
+    spark = _session("local[32]", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(INPUT_DIR, ignore_errors=True)
+    # 4 files per core at the larger size -> both runs see the same
+    # splittable layout; content is a pure function of row index.
+    synth_dataframe(spark, n_docs, partitions=128) \
+        .write.mode("overwrite").parquet(INPUT_DIR)
+    n = spark.read.parquet(INPUT_DIR).count()
+    print(f"prepared {n} docs at {INPUT_DIR}")
+    spark.stop()
+
+
+def run(master: str, in_dir: str, out_dir: str) -> None:
+    cores = int(master.split("[")[1].rstrip("]"))
+    spark = _session(master, cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    from document_parser_spark.plans.pipeline import extract
+
+    docs = spark.read.parquet(in_dir)
+    n_docs = docs.count()
+
+    def job(tag: str) -> float:
+        shutil.rmtree(f"{out_dir}/{tag}", ignore_errors=True)
+        t0 = time.time()
+        extract(spark.read.parquet(in_dir)) \
+            .write.mode("overwrite").parquet(f"{out_dir}/{tag}")
+        return time.time() - t0
+
+    job("warmup")
+    # single-machine wall time is noisy (GC, page cache, neighbors):
+    # median of 3 timed runs of the identical job
+    runs = sorted(job(f"timed{i}") for i in range(3))
+    secs = runs[1]
+    out = {"master": master, "cores": cores, "n_docs": n_docs,
+           "wall_s": round(secs, 2), "runs_s": [round(r, 2) for r in runs],
+           "docs_per_sec": round(n_docs / secs, 1)}
+    os.makedirs(RESULTS, exist_ok=True)
+    with open(f"{RESULTS}/{cores}.json", "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def all_protocol(n_docs: int) -> None:
+    env = dict(os.environ)
+    me = os.path.abspath(__file__)
+    subprocess.run([sys.executable, me, "prepare", str(n_docs)], check=True,
+                   env=env)
+    for master in ("local[8]", "local[32]"):
+        subprocess.run(
+            [sys.executable, me, "run", master, INPUT_DIR,
+             f"/tmp/scaling_out_{master.replace('[', '_').rstrip(']')}"],
+            check=True, env=env)
+    with open(f"{RESULTS}/8.json") as fh:
+        r8 = json.load(fh)
+    with open(f"{RESULTS}/32.json") as fh:
+        r32 = json.load(fh)
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4
+    md = f"""# BENCH — measured baseline (this repo)
+
+## Two-parallelism scaling (north rule: eff >= 0.8 from N to 4N)
+
+Protocol: BASELINE.md §3 — identical job (read parquet -> full
+extraction pipeline -> write parquet), same pre-materialized input
+({r8['n_docs']} synthetic interleaved docs, seed=42, 128 splittable
+files), warm-up pass then median of 3 timed runs in the same JVM
+(single-machine wall time is noisy; all runs reported).
+
+| run | master | wall s (median) | all runs s | docs/sec |
+|---|---|---|---|---|
+| N  | local[8]  | {r8['wall_s']} | {r8['runs_s']} | {r8['docs_per_sec']} |
+| 4N | local[32] | {r32['wall_s']} | {r32['runs_s']} | {r32['docs_per_sec']} |
+
+**scaling efficiency = ({r32['docs_per_sec']} / {r8['docs_per_sec']}) / 4
+= {eff:.3f}** — {"PASS (>= 0.8)" if eff >= 0.8 else "FAIL (< 0.8)"}
+
+Command lines:
+
+    python tools/scaling_bench.py prepare {r8['n_docs']}
+    python tools/scaling_bench.py run "local[8]"  {INPUT_DIR} /tmp/scaling_out_local_8
+    python tools/scaling_bench.py run "local[32]" {INPUT_DIR} /tmp/scaling_out_local_32
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "prepare":
+        prepare(int(sys.argv[2]))
+    elif cmd == "run":
+        run(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif cmd == "all":
+        all_protocol(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
+    else:
+        raise SystemExit(f"unknown cmd {cmd}")
