@@ -103,12 +103,20 @@ def _jaccard_from_candidates(sh: DataFrame, cand: DataFrame,
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
                         threshold: float = JACCARD_THRESHOLD,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        reuse_shingles: bool = True) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold via shared-shingle
     candidate join. ``max_df`` drops shingles appearing in more than
     that many docs before pairing (the 100 TB knob: a stopword shingle
-    would otherwise create a quadratic hot key — classic skew)."""
+    would otherwise create a quadratic hot key — classic skew).
+
+    The shingle relation feeds four operators (both candidate sides,
+    the verification join, the size table); ``reuse_shingles``
+    persists it so the explode+distinct shuffle runs once, not 4x —
+    at cluster scale this is a materialized intermediate table."""
     sh = shingles(docs, n)
+    if reuse_shingles:
+        sh = sh.persist()
     pair_src = sh
     if max_df is not None:
         rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -125,12 +133,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     return _jaccard_from_candidates(sh, cand, threshold)
 
 
-def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N,
-                       hashers: int = MINHASH_HASHERS,
-                       fast_hash: bool = False) -> DataFrame:
-    """(doc_id, k, mv): min over shingles of h60(k || '|' || shingle)
-    for each of ``hashers`` hash functions."""
-    sh = shingles(docs, n)
+def _signatures_from_shingles(sh: DataFrame, hashers: int,
+                              fast_hash: bool) -> DataFrame:
     ks = F.explode(F.sequence(F.lit(0), F.lit(hashers - 1))).alias("k")
     return (
         sh.select("doc_id", "sh", ks)
@@ -142,15 +146,27 @@ def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N,
     )
 
 
+def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N,
+                       hashers: int = MINHASH_HASHERS,
+                       fast_hash: bool = False) -> DataFrame:
+    """(doc_id, k, mv): min over shingles of h60(k || '|' || shingle)
+    for each of ``hashers`` hash functions."""
+    return _signatures_from_shingles(shingles(docs, n), hashers, fast_hash)
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = SHINGLE_N,
                       hashers: int = MINHASH_HASHERS,
                       bands: int = MINHASH_BANDS,
                       threshold: float = JACCARD_THRESHOLD,
-                      fast_hash: bool = False) -> DataFrame:
+                      fast_hash: bool = False,
+                      reuse_shingles: bool = True) -> DataFrame:
     """MinHash signatures -> banded LSH candidates -> exact-Jaccard
     verification. -> (ida, idb, jaccard)."""
     rows_per_band = hashers // bands
-    mh = minhash_signatures(docs, n, hashers, fast_hash)
+    sh = shingles(docs, n)
+    if reuse_shingles:
+        sh = sh.persist()
+    mh = _signatures_from_shingles(sh, hashers, fast_hash)
     band_sig = (
         mh.withColumn("band", F.floor(F.col("k") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
