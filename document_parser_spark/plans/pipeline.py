@@ -127,18 +127,42 @@ def extract(
     image_mode: str = IMAGE_MODE_PLACEHOLDER,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     salted: bool = True,
+    parse_images: bool = False,
+    translate: bool = False,
+    detect_lang: bool = False,
 ) -> DataFrame:
     """Full pipeline: input span table -> DOCUMENTS_OUT_SCHEMA
-    (doc_id, spans, markdown, status) + n_failures column for lineage."""
+    (doc_id, spans, markdown, status) + n_failures column for lineage.
+
+    Optional enrichment stages mirror the reference's request flags:
+    ``parse_images`` = VLM OCR insert-after (J1, pdf_parser.py:64-71),
+    ``translate`` = per-span translation in place (J2), ``detect_lang``
+    = first-3-paragraph language column (A2). All three are narrow
+    maps over the reassembled span array — zero extra shuffles.
+    """
     parsed = parse_all_branches(df)
     docs = reassemble(parsed, salt_buckets=salt_buckets, salted=salted)
+    if parse_images:
+        from document_parser_spark.operators.enrich import (
+            insert_ocr_after_images,
+        )
+        docs = insert_ocr_after_images(docs)
+    if detect_lang:
+        from document_parser_spark.operators.enrich import detect_language
+        docs = detect_language(docs)
+    if translate:
+        from document_parser_spark.operators.enrich import translate_spans
+        docs = translate_spans(docs)
     serialize_udf = make_serialize_udf(image_mode)
-    return docs.select(
-        "doc_id",
-        "spans",
+    out_cols = [
+        F.col("doc_id"),
+        F.col("spans"),
         serialize_udf("spans").alias("markdown"),
         F.when(F.col("n_failures") > 0, F.lit(STATUS_PARSE_FAILURE))
         .when(F.size("spans") == 0, F.lit(STATUS_EMPTY))
         .otherwise(F.lit(STATUS_OK)).alias("status"),
-        "n_failures",
-    )
+        F.col("n_failures"),
+    ]
+    if detect_lang:
+        out_cols.insert(3, F.col("lang"))
+    return docs.select(*out_cols)
