@@ -1,0 +1,76 @@
+"""Structured Streaming front-end (SURVEY §2.11).
+
+The reference is request/response; its streaming-adjacent semantics
+(task lifecycle, progress, resumability) map to the lineage table.
+When a continuously-arriving span table is wanted instead, this
+module wraps the IDENTICAL batch pipeline in ``readStream`` →
+``foreachBatch`` — no new operators, the batch plan is the streaming
+plan. Checkpointing gives exactly-once per input file; within a batch
+the extract dataflow is deterministic, so replays are idempotent.
+
+``sessionize_events`` is the stateful-streaming example (event-time
+window + watermark): the W3 boundary-detection semantics expressed
+with built-in streaming operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from document_parser_spark.config import IMAGE_MODE_PLACEHOLDER
+from document_parser_spark.plans.pipeline import extract
+from document_parser_spark.schema import DOCUMENTS_IN_SCHEMA
+
+
+def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
+                   checkpoint_dir: str,
+                   image_mode: str = IMAGE_MODE_PLACEHOLDER,
+                   available_now: bool = True,
+                   max_files_per_trigger: int | None = None,
+                   **extract_kwargs) -> StreamingQuery:
+    """File-source streaming extraction: each micro-batch runs the
+    full batch ``extract`` and appends to the output table.
+
+    ``available_now=True`` drains everything currently present and
+    stops (the batch-catch-up mode); with ``max_files_per_trigger`` it
+    becomes a rate-limited continuous ingest.
+    """
+    reader = (spark.readStream
+              .schema(DOCUMENTS_IN_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+
+    def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (extract(batch_df, image_mode=image_mode, **extract_kwargs)
+         .withColumn("epoch_id", F.lit(epoch_id))
+         .write.mode("append").parquet(output_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(run_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Event-time session windows with a watermark — the streaming
+    form of the W3 lag-boundary query (works on a static frame too:
+    session_window is supported in batch).
+
+    -> (user_id, session_start, session_end, n_events)
+    """
+    return (
+        events
+        .withWatermark("ts", f"{gap_minutes * 2} minutes")
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events")
+    )

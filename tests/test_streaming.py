@@ -1,0 +1,78 @@
+"""Streaming front-end tests: foreachBatch extraction equals the batch
+run; checkpoint prevents reprocessing; session windows match the
+lag-based W3 query."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_parser_spark.plans.pipeline import extract
+from document_parser_spark.sources.synth import fixtures_dataframe
+from document_parser_spark.streaming.stream import (
+    sessionize_events,
+    stream_extract,
+)
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    fixtures = fixtures_dataframe(spark)
+    fixtures.write.parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = extract(spark.read.parquet(in_dir))
+    key = lambda df: sorted(
+        (r.doc_id, r.status, r.markdown,
+         tuple((s.kind, s.text, s.media_ref, s.offset) for s in r.spans))
+        for r in df.collect())
+    assert key(got) == key(want)
+
+    # restart with same checkpoint: nothing new -> no duplicate rows
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == want.count()
+
+
+def test_stream_incremental_files(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    fx = fixtures_dataframe(spark).cache()
+    first = fx.limit(4)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 4
+
+    fx.subtract(first).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ckpt).awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == fx.count()
+    # second epoch processed only the new files
+    assert out.select("epoch_id").distinct().count() >= 2
+
+
+def test_session_window_matches_lag_form(spark):
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (1, "2024-01-01 01:10:00"),                      # gap > 30m
+         (2, "2024-01-01 05:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    sess = sessionize_events(events, gap_minutes=30)
+    per_user = {r.user_id: r.n for r in
+                sess.groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("n")).collect()}
+    assert per_user == {1: 2, 2: 1}
+    n_events = dict((r.user_id, r.total) for r in
+                    sess.groupBy("user_id")
+                    .agg(F.sum("n_events").alias("total")).collect())
+    assert n_events == {1: 3, 2: 1}
