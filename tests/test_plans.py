@@ -1,0 +1,128 @@
+"""Physical-plan audits (SURVEY §4): the optimizations we rely on at
+100 TB must be visible in the plan at any scale — filter/column
+pushdown to the parquet scan, broadcast joins for small sides, no
+cartesian products anywhere, whole-stage codegen on the hot path,
+map-side partial aggregation before the reassembly shuffle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as m
+    return m
+
+
+def test_scan_column_pruning(spark, entry):
+    """token_stats touches only doc_id+text -> ReadSchema must not
+    include lang/source/n_chars."""
+    from document_parser_spark.ops.textstats import token_stats
+    p = plan(token_stats(spark.read.parquet(f"{SF}/documents.parquet")))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "lang" not in rs[0] and "source" not in rs[0]
+
+
+def test_filter_pushdown_to_scan(spark):
+    df = (spark.read.parquet(f"{SF}/documents.parquet")
+          .filter(F.col("doc_id") == 7).select("doc_id", "n_chars"))
+    p = plan(df)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "IsNotNull(doc_id)" in pushed[0] \
+        and "EqualTo(doc_id,7)" in pushed[0]
+
+
+def test_j1_join_is_broadcast(spark, entry):
+    p = plan(entry.queries()["j1_enrichment_join"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_no_cartesian_products_anywhere(spark, entry):
+    """Every contract query must avoid cross joins — candidate
+    generation is always an equi-join on a derived key."""
+    qs = entry.queries()
+    for name, fn in qs.items():
+        p = plan(fn(spark, SF), mode="simple")
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_extract_pipeline_shape(spark, entry):
+    p = plan(entry.queries()["extract_pipeline"](spark, SF))
+    # the one reassembly shuffle: partial aggregation runs map-side
+    # before the exchange (two-phase salted collect)
+    assert "partial_collect_list" in p
+    # per-span kernels are Arrow-vectorized python stages
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    # never row-at-a-time python
+    assert "BatchEvalPython" not in p
+
+
+def test_jvm_stages_whole_stage_codegen(spark, entry):
+    """With AQE off (AQE hides codegen markers until runtime), the
+    scalar cleaning kernel (translate/concat — F5/F6) fuses into a
+    codegen span ('*(n)' markers in simple mode). Array higher-order
+    functions are interpreted-JVM by Spark design, so the stats
+    queries only get codegen on their scan+project shell — asserted
+    via the starred ColumnarToRow."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(entry.queries()["f6_clean_invisibles"](spark, SF),
+                 mode="simple")
+        assert "*(1)" in p        # whole-stage-codegen'd stage
+        assert "translate" in p   # and the kernel is inside it
+        from document_parser_spark.ops.textstats import token_stats
+        p2 = plan(token_stats(
+            spark.read.parquet(f"{SF}/documents.parquet")), mode="simple")
+        assert "*(1)" in p2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_reassembly_salt_limits_shuffle_key(spark):
+    """Salted reassembly: first exchange keyed by (doc_id, salt),
+    final by doc_id only."""
+    from document_parser_spark.operators.reassemble import reassemble
+    from document_parser_spark.plans.pipeline import parse_all_branches
+    from document_parser_spark.sources.synth import fixtures_dataframe
+    parsed = parse_all_branches(fixtures_dataframe(spark))
+    p = plan(reassemble(parsed, salt_buckets=8))
+    # phase-1 exchange keyed by the salt expression (pmod(hash(...)))
+    assert "pmod" in p
+    assert "partial_collect_list" in p
+    # two aggregation phases -> two exchanges (salted partial + final)
+    assert p.count("Exchange") >= 2
+
+
+def test_dedup_minhash_no_global_sort(spark, entry):
+    """LSH pair generation must be pure hash-shuffle work — a global
+    Sort would mean an accidental orderBy in the pipeline."""
+    p = plan(entry.queries()["dedup_minhash_lsh"](spark, SF),
+             mode="simple")
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_ann_topk_partial_per_partition(spark):
+    """Brute-force top-k: TakeOrderedAndProject (partial top-k per
+    partition + merge), never a full Sort of all rows."""
+    from document_parser_spark.ops.similarity import cosine_to_query
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.0] * 63 + [1.0]
+    p = plan(cosine_to_query(emb, q, k=10))
+    assert "TakeOrderedAndProject" in p
