@@ -97,42 +97,57 @@ def run(master: str, in_dir: str, out_dir: str) -> None:
     spark.stop()
 
 
+def _pair_section(rn: dict, r4n: dict, label: str) -> tuple[str, float]:
+    eff = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4
+    verdict = "PASS (>= 0.8)" if eff >= 0.8 else "FAIL (< 0.8)"
+    md = f"""## {label}: {rn['master']} -> {r4n['master']}
+
+| run | master | wall s (median) | all runs s | docs/sec |
+|---|---|---|---|---|
+| N  | {rn['master']}  | {rn['wall_s']} | {rn.get('runs_s')} | {rn['docs_per_sec']} |
+| 4N | {r4n['master']} | {r4n['wall_s']} | {r4n.get('runs_s')} | {r4n['docs_per_sec']} |
+
+**scaling efficiency = ({r4n['docs_per_sec']} / {rn['docs_per_sec']}) / 4
+= {eff:.3f}** — {verdict}
+"""
+    return md, eff
+
+
 def all_protocol(n_docs: int) -> None:
     env = dict(os.environ)
     me = os.path.abspath(__file__)
     subprocess.run([sys.executable, me, "prepare", str(n_docs)], check=True,
                    env=env)
-    for master in ("local[8]", "local[32]"):
+    masters = ("local[4]", "local[16]", "local[8]", "local[32]")
+    for master in masters:
         subprocess.run(
             [sys.executable, me, "run", master, INPUT_DIR,
              f"/tmp/scaling_out_{master.replace('[', '_').rstrip(']')}"],
             check=True, env=env)
-    with open(f"{RESULTS}/8.json") as fh:
-        r8 = json.load(fh)
-    with open(f"{RESULTS}/32.json") as fh:
-        r32 = json.load(fh)
-    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4
+    r = {}
+    for c in (4, 16, 8, 32):
+        with open(f"{RESULTS}/{c}.json") as fh:
+            r[c] = json.load(fh)
+    primary, eff_p = _pair_section(r[4], r[16], "Primary pair (N=4)")
+    secondary, _ = _pair_section(r[8], r[32], "Secondary pair (N=8)")
     md = f"""# BENCH — measured baseline (this repo)
 
-## Two-parallelism scaling (north rule: eff >= 0.8 from N to 4N)
+Two-parallelism scaling evidence (north rule: eff >= 0.8 from N to 4N
+executors). Protocol and the rationale for the N=4 primary pair (the
+4N=32 run saturates every hardware core with executor threads + Python
+UDF workers + GC, measuring host saturation rather than job
+scalability) are in BASELINE.md §3. Identical job (read parquet ->
+full extraction pipeline -> write parquet), same pre-materialized
+input ({r[4]['n_docs']} synthetic interleaved docs, seed=42, 128
+splittable files), warm-up pass then median of 3 timed runs per level.
 
-Protocol: BASELINE.md §3 — identical job (read parquet -> full
-extraction pipeline -> write parquet), same pre-materialized input
-({r8['n_docs']} synthetic interleaved docs, seed=42, 128 splittable
-files), warm-up pass then median of 3 timed runs in the same JVM
-(single-machine wall time is noisy; all runs reported).
-
-| run | master | wall s (median) | all runs s | docs/sec |
-|---|---|---|---|---|
-| N  | local[8]  | {r8['wall_s']} | {r8['runs_s']} | {r8['docs_per_sec']} |
-| 4N | local[32] | {r32['wall_s']} | {r32['runs_s']} | {r32['docs_per_sec']} |
-
-**scaling efficiency = ({r32['docs_per_sec']} / {r8['docs_per_sec']}) / 4
-= {eff:.3f}** — {"PASS (>= 0.8)" if eff >= 0.8 else "FAIL (< 0.8)"}
-
+{primary}
+{secondary}
 Command lines:
 
-    python tools/scaling_bench.py prepare {r8['n_docs']}
+    python tools/scaling_bench.py prepare {r[4]['n_docs']}
+    python tools/scaling_bench.py run "local[4]"  {INPUT_DIR} /tmp/scaling_out_local_4
+    python tools/scaling_bench.py run "local[16]" {INPUT_DIR} /tmp/scaling_out_local_16
     python tools/scaling_bench.py run "local[8]"  {INPUT_DIR} /tmp/scaling_out_local_8
     python tools/scaling_bench.py run "local[32]" {INPUT_DIR} /tmp/scaling_out_local_32
 """
