@@ -47,6 +47,37 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_PKG_SESSIONS: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via addPyFile.
+
+    Queries whose pandas UDFs are module-level functions (the extract
+    pipeline, multimodal decode) are pickled *by reference* — workers
+    must import ``document_parser_spark`` themselves, which only works
+    if the repo is on the worker's PYTHONPATH. addPyFile makes that
+    true regardless of how the host process was launched (same
+    mechanism as spark-submit --py-files).
+    """
+    if id(spark) in _PKG_SESSIONS:
+        return
+    import os
+    import zipfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(here, "document_parser_spark")
+    zpath = os.path.join("/tmp", "document_parser_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, here))
+    spark.sparkContext.addPyFile(zpath)
+    _PKG_SESSIONS.add(id(spark))
+
+
 def _words_pos(docs: DataFrame) -> DataFrame:
     """(doc_id, pos:long, w) — the exploded word relation."""
     return docs.select(
@@ -130,6 +161,7 @@ def _span_docs(docs: DataFrame) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Full extraction pipeline (explode -> per-kind vectorized parse ->
     salted ordered reassembly -> markdown serialization) on sf0.001."""
+    _ensure_pkg(spark)
     docs = _tbl(spark, "/root/testdata/sf0.001", "documents")
     out = extract(_span_docs(docs))
     return out.select(
@@ -351,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def mm_decode(spark, sf):
         """Rows-only: mapInPandas decode-stub feature extraction."""
+        _ensure_pkg(spark)
         media = mm.synthesize_media(_tbl(spark, sf, "documents"))
         feats = mm.extract_image_features(media)
         return feats.groupBy().agg(
@@ -362,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- full extraction pipeline (rows-only: pandas-UDF stages) --------
     def pipeline(spark, sf):
+        _ensure_pkg(spark)
         out = extract(_span_docs(_tbl(spark, sf, "documents")))
         return out.select("doc_id", "status",
                           F.size("spans").cast("long").alias("n_spans"),

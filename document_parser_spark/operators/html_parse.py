@@ -288,6 +288,34 @@ class _FlatEmitter(HTMLParser):
         self._flush(final=True)
 
 
+def _group_join(sort_cols: list[np.ndarray], texts: np.ndarray,
+                sep: str = "") -> tuple[list[np.ndarray], np.ndarray,
+                                        np.ndarray]:
+    """Concatenate ``texts`` within groups defined by the (pre-sorted)
+    parallel key arrays. Returns (group_keys, joined, starts).
+
+    pandas ``groupby().agg("".join)`` falls back to a pure-python
+    per-group loop (_aggregate_series_pure_python) — measured ~35% of
+    the whole HTML kernel. Here group boundaries come from one
+    vectorized change-detection pass and the python-level join runs
+    ONLY for multi-chunk groups (the rare case; most blocks are a
+    single text chunk)."""
+    n = len(texts)
+    change = np.ones(n, dtype=bool)
+    change[1:] = False
+    for k in sort_cols:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, n))
+    out = np.empty(len(starts), dtype=object)
+    single = sizes == 1
+    out[single] = texts[starts[single]]
+    for g in np.flatnonzero(~single):
+        s = starts[g]
+        out[g] = sep.join(texts[s:s + sizes[g]])
+    return [k[starts] for k in sort_cols], out, starts
+
+
 def _new_out() -> dict:
     return {k: [] for k in (
         "m_row", "m_seq", "m_kind", "m_media",
@@ -329,9 +357,13 @@ def parse_html_rows(htmls: pd.Series) -> pd.DataFrame:
         link_len = collapse_series(cdf["clean"]).str.len()
         cdf["link_chars"] = np.where(cdf["link"], link_len, 0)
         cdf = cdf.sort_values(["row", "seq", "ord"], kind="stable")
-        runs = (cdf.groupby(["row", "seq"], sort=False)
-                .agg(text=("clean", "".join), links=("link_chars", "sum"))
-                .reset_index())
+        keys, joined, starts = _group_join(
+            [cdf["row"].to_numpy(), cdf["seq"].to_numpy()],
+            cdf["clean"].to_numpy())
+        links = np.add.reduceat(cdf["link_chars"].to_numpy(), starts) \
+            if len(starts) else np.array([], dtype=np.int64)
+        runs = pd.DataFrame({"row": keys[0], "seq": keys[1],
+                             "text": joined, "links": links})
         runs["text"] = collapse_series(runs["text"])
         n = runs["text"].str.len()
         boiler = ((runs["links"] > 0) & (n < MIN_BLOCK_CHARS_WITH_LINKS)) | \
@@ -358,15 +390,15 @@ def parse_html_rows(htmls: pd.Series) -> pd.DataFrame:
                             "ord": out["t_ord"], "text": out["t_text"]})
         tdf["clean"] = clean_and_fix_series(tdf["text"])
         tdf = tdf.sort_values(["row", "seq", "tr", "cell", "ord"], kind="stable")
-        cells = (tdf.groupby(["row", "seq", "tr", "cell"], sort=False)["clean"]
-                 .agg("".join).reset_index(name="cell_text"))
-        cells["cell_text"] = collapse_series(cells["cell_text"])
-        rows = (cells.groupby(["row", "seq", "tr"], sort=False)["cell_text"]
-                .agg(CELL_SEP.join).reset_index(name="row_text"))
-        tables = (rows.groupby(["row", "seq"], sort=False)["row_text"]
-                  .agg(ROW_SEP.join).reset_index(name="text"))
-        tables["kind"] = "table"
-        tables["media_ref"] = ""
+        ckeys, ctext, _ = _group_join(
+            [tdf[c].to_numpy() for c in ("row", "seq", "tr", "cell")],
+            tdf["clean"].to_numpy())
+        ctext = collapse_series(pd.Series(ctext)).to_numpy()
+        rkeys, rtext, _ = _group_join(ckeys[:3], ctext, sep=CELL_SEP)
+        tkeys, ttext, _ = _group_join(rkeys[:2], rtext, sep=ROW_SEP)
+        tables = pd.DataFrame({"row": tkeys[0], "seq": tkeys[1],
+                               "kind": "table", "media_ref": "",
+                               "text": ttext})
         frames.append(tables[["row", "seq", "kind", "media_ref", "text"]])
 
     # ---- images pass through
