@@ -393,6 +393,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg("width"), 3).alias("avg_width"))
     q["multimodal_decode_stub"] = mm_decode
 
+    def j1_ocr(spark, sf):
+        """J1 proper: the OCR insert-after operator on a derived span
+        table — verifies splice position, offset renumbering, and the
+        sha256 stub against a pure-SQL oracle."""
+        from document_parser_spark.operators.enrich import (
+            insert_ocr_after_images,
+        )
+        docs = _tbl(spark, sf, "documents")
+        spans0 = F.expr("""
+            transform(
+              sequence(0, int(ceil(size(split(text, ' ')) / 8.0)) - 1),
+              i -> named_struct(
+                'kind', 'text',
+                'text', concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)),
+                'media_ref', '', 'offset', cast(i as int)))
+        """)
+        img = F.expr("""
+            named_struct('kind', 'image', 'text', '',
+                         'media_ref', concat('img://', cast(doc_id as string)),
+                         'offset', cast(size(spans0) as int))
+        """)
+        span_docs = (
+            docs.select("doc_id", spans0.alias("spans0"))
+            .select("doc_id",
+                    F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                           F.concat("spans0", F.array(img)))
+                    .otherwise(F.col("spans0")).alias("spans")))
+        enriched = insert_ocr_after_images(span_docs)
+        return enriched.select(
+            "doc_id",
+            F.size("spans").cast("long").alias("n_spans"),
+            F.md5(F.concat_ws(
+                "\x1f",
+                F.transform("spans",
+                            lambda s: F.concat_ws("|", s["kind"], s["text"],
+                                                  s["offset"].cast("string")))
+            )).alias("spans_sig"))
+    q["j1_ocr_insert_after"] = j1_ocr
+
     # ---- full extraction pipeline (rows-only: pandas-UDF stages) --------
     def pipeline(spark, sf):
         _ensure_pkg(spark)
@@ -705,6 +744,34 @@ def oracle_sql() -> dict[str, str]:
           JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name
+        """,
+        "j1_ocr_insert_after": """
+          WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
+                     FROM documents),
+          chunks AS (SELECT doc_id, i,
+                            array_to_string(arr[i*8+1 : i*8+8], ' ') AS ch
+                     FROM (SELECT doc_id, arr,
+                                  unnest(range((len(arr) + 7) // 8)) AS i
+                           FROM s)),
+          base AS (
+            SELECT doc_id, i AS off, 0 AS sub, 'text' AS kind, ch AS txt
+            FROM chunks
+            UNION ALL
+            SELECT doc_id, (len(arr)+7)//8 AS off, 0 AS sub, 'image', ''
+            FROM s WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, (len(arr)+7)//8 AS off, 1 AS sub, 'text',
+                   '[ocr:' || substr(sha256('img://' || doc_id::varchar),
+                                     1, 12) || ']'
+            FROM s WHERE doc_id % 3 = 0),
+          seq AS (SELECT doc_id, kind, txt,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY off, sub) - 1 AS new_off
+                  FROM base)
+          SELECT doc_id, count(*)::bigint AS n_spans,
+                 md5(string_agg(kind || '|' || txt || '|' || new_off::varchar,
+                                chr(31) ORDER BY new_off)) AS spans_sig
+          FROM seq GROUP BY doc_id
         """,
         # extract_pipeline / multimodal_decode_stub: rows-only by design
         # (pandas-UDF stages — not SQL-expressible).
