@@ -254,6 +254,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["w3_session_breaks"] = w3_sessions
 
+    def w3_session_windows(spark, sf):
+        """Streaming-native sessionization (session_window + the same
+        gap) — oracle-checked against the classic lag/cumsum SQL form:
+        window start == min(ts) of the lag-derived session."""
+        from document_parser_spark.streaming.stream import sessionize_events
+        sess = sessionize_events(_tbl(spark, sf, "events"),
+                                 gap_minutes=SESSION_GAP_S // 60)
+        return sess.select("user_id", "session_start", "n_events")
+    q["w3_session_windows"] = w3_session_windows
+
     def s2_gate(spark, sf):
         """S2: kind allow-list gate + per-kind tally."""
         return (
@@ -335,6 +345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "documents"))
     q["text_fingerprint"] = lambda spark, sf: ts.fingerprint(
         _tbl(spark, sf, "documents"))
+
+    def rolling_fps(spark, sf):
+        """Rows-only: Rabin-Karp rolling span fingerprints (sequential
+        recurrence — the designated pandas-UDF path)."""
+        _ensure_pkg(spark)
+        return ts.rolling_fingerprints(
+            _tbl(spark, sf, "documents")).select(
+            "doc_id", F.size("fps").cast("long").alias("n_windows"))
+    q["text_rolling_fingerprints"] = rolling_fps
 
     # ---- dedup ----------------------------------------------------------
     def dedup_exact(spark, sf):
@@ -569,6 +588,22 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END)::bigint AS n_sessions,
                  count(*)::bigint AS n_events
           FROM g GROUP BY user_id
+        """,
+        "w3_session_windows": f"""
+          WITH g AS (SELECT user_id, ts,
+                            CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    >= {SESSION_GAP_S} * 1000000
+                                 THEN 1 ELSE 0 END AS brk
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          sid AS (SELECT user_id, ts,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM g)
+          SELECT user_id, min(ts) AS session_start,
+                 count(*)::bigint AS n_events
+          FROM sid GROUP BY user_id, sess
         """,
         "s2_kind_gate": f"""
           SELECT kind, count(*)::bigint AS n_docs
