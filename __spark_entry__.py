@@ -499,6 +499,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # ---------------------------------------------------------------------------
 
+def _minhash_oracle(jaccard_tail: str) -> str:
+    """Universal-hash MinHash oracle: one md5-derived 60-bit hash per
+    shingle reduced mod p, then the same (a_k, b_k) affine maps the
+    Spark operator uses (dd.minhash_params), quoted as literals."""
+    p = dd.MINHASH_PRIME
+    params = dd.minhash_params(dd.MINHASH_HASHERS)
+    rows_per_band = dd.MINHASH_HASHERS // dd.MINHASH_BANDS
+    mins = ",\n                 ".join(
+        f"min(({a} * hv + {b}) % {p}) AS m{k}"
+        for k, (a, b) in enumerate(params))
+    band_rows = "\n          UNION ALL\n".join(
+        "          SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM mh"
+        .format(b=b, cat=" || ',' || ".join(
+            f"m{b * rows_per_band + j}::varchar"
+            for j in range(rows_per_band)))
+        for b in range(dd.MINHASH_BANDS))
+    return f"""
+          WITH {_SH_CTE},
+          hv AS (SELECT doc_id,
+                        (('0x' || substr(md5(sh), 1, 15))::bigint) % {p}
+                        AS hv
+                 FROM sh),
+          mh AS (SELECT doc_id,
+                 {mins}
+                 FROM hv GROUP BY doc_id),
+          bd AS (
+{band_rows}
+          ),
+          cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                   FROM bd a JOIN bd b
+                   ON a.band = b.band AND a.sig = b.sig
+                   AND a.doc_id < b.doc_id),
+          {jaccard_tail}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = ",".join(f"'{s}'" for s in ts.STOPWORDS["en"])
     lang_ratio = {
@@ -693,22 +729,7 @@ def oracle_sql() -> dict[str, str]:
                    ON a.sh = b.sh AND a.doc_id < b.doc_id),
           {jaccard_tail}
         """,
-        "dedup_minhash_lsh": f"""
-          WITH {_SH_CTE},
-          mh AS (SELECT doc_id, k,
-                        min({h60.format(s="k::varchar || '|' || sh")}) AS mv
-                 FROM sh, (SELECT unnest(range({dd.MINHASH_HASHERS})) AS k)
-                 GROUP BY doc_id, k),
-          bd AS (SELECT doc_id,
-                        k // {dd.MINHASH_HASHERS // dd.MINHASH_BANDS} AS band,
-                        md5(string_agg(mv::varchar, ',' ORDER BY k)) AS sig
-                 FROM mh GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                   FROM bd a JOIN bd b
-                   ON a.band = b.band AND a.sig = b.sig
-                   AND a.doc_id < b.doc_id),
-          {jaccard_tail}
-        """,
+        "dedup_minhash_lsh": _minhash_oracle(jaccard_tail),
         "dedup_simhash": f"""
           WITH {_E_CTE},
           wh AS (SELECT doc_id, {h60.format(s="w")} AS h,

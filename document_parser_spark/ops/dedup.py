@@ -35,6 +35,18 @@ from document_parser_spark.ops.hashing import hash_col
 SHINGLE_N = 3
 MINHASH_HASHERS = 16
 MINHASH_BANDS = 4          # 4 bands x 4 rows
+# universal-hash family over Z_p: mv_k = (a_k*h + b_k) mod p with h the
+# 60-bit shingle hash reduced mod p. p = 2^31-1 keeps every product
+# below 2^62 (no int64 overflow in either engine); (a_k, b_k) fixed by
+# seed so the DuckDB oracle can quote them as literals.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(hashers: int = MINHASH_HASHERS) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(1234567)
+    return [(int(rng.randint(1, MINHASH_PRIME)),
+             int(rng.randint(0, MINHASH_PRIME)))
+            for _ in range(hashers)]
 JACCARD_THRESHOLD = 0.25
 SIMHASH_BITS = 60
 NEARDUP_COSINE = 0.45
@@ -59,7 +71,10 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct word n-gram shingles -> (doc_id, sh). Computed with
-    array built-ins (sequence+transform), no explode-then-window."""
+    array built-ins (sequence+transform) and deduped per-doc with
+    ``array_distinct`` BEFORE the explode — within-doc distinct equals
+    global distinct on (doc_id, sh), so this saves the whole
+    distinct-shuffle (at 100 TB that shuffle is the shingle table)."""
     w = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.size(w) - n)  # empty-safe via when()
     sh = F.transform(
@@ -67,18 +82,22 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int"))
                                      for j in range(n)]),
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(F.when(F.size(w) >= n, sh)
-                      .otherwise(F.array().cast("array<string>"))).alias("sh"))
-        .distinct()
-    )
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.when(F.size(w) >= n, sh)
+            .otherwise(F.array().cast("array<string>")))).alias("sh"))
 
 
 def _jaccard_from_candidates(sh: DataFrame, cand: DataFrame,
                              threshold: float) -> DataFrame:
-    """cand(ida, idb) -> (ida, idb, jaccard) verified >= threshold."""
+    """cand(ida, idb) -> (ida, idb, jaccard) verified >= threshold.
+
+    Verification expands only the candidate pairs (cand ⋈ sh ⋈ sh) —
+    cheaper than a full shingle self-join whenever the candidate set
+    is selective (the LSH case); `ngram_jaccard_pairs` uses the full
+    self-join directly because there the candidate set IS all sharing
+    pairs."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     inter = (
         cand
@@ -117,11 +136,33 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     sh = shingles(docs, n)
     if reuse_shingles:
         sh = sh.persist()
-    pair_src = sh
-    if max_df is not None:
-        rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_df).select("sh"))
-        pair_src = sh.join(rare, "sh")
+    if max_df is None:
+        # shared-shingle self-join IS the intersection count: one
+        # groupBy instead of candidate-distinct + verification re-join
+        inter = (
+            sh.alias("a").join(sh.alias("b"), "sh")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("ida"),
+                     F.col("b.doc_id").alias("idb"))
+            .agg(F.count("*").cast("long").alias("i"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+        return (
+            inter
+            .join(sizes.select(F.col("doc_id").alias("ida"),
+                               F.col("n").alias("na")), "ida")
+            .join(sizes.select(F.col("doc_id").alias("idb"),
+                               F.col("n").alias("nb")), "idb")
+            .select("ida", "idb",
+                    F.round(F.col("i").cast("double")
+                            / (F.col("na") + F.col("nb") - F.col("i"))
+                            .cast("double"), 3).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # rare-shingle candidates, verified against the FULL shingle set
+    rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df).select("sh"))
+    pair_src = sh.join(rare, "sh")
     cand = (
         pair_src.alias("a")
         .join(pair_src.alias("b"), "sh")
@@ -133,25 +174,46 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     return _jaccard_from_candidates(sh, cand, threshold)
 
 
-def _signatures_from_shingles(sh: DataFrame, hashers: int,
-                              fast_hash: bool) -> DataFrame:
-    ks = F.explode(F.sequence(F.lit(0), F.lit(hashers - 1))).alias("k")
-    return (
-        sh.select("doc_id", "sh", ks)
-        .select("doc_id", "k",
-                hash_col(F.concat(F.col("k").cast("string"),
-                                  F.lit("|"), F.col("sh")),
-                         fast=fast_hash).alias("hv"))
-        .groupBy("doc_id", "k").agg(F.min("hv").alias("mv"))
-    )
-
-
 def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N,
                        hashers: int = MINHASH_HASHERS,
                        fast_hash: bool = False) -> DataFrame:
-    """(doc_id, k, mv): min over shingles of h60(k || '|' || shingle)
-    for each of ``hashers`` hash functions."""
+    """(doc_id, m0..m{hashers-1}): universal-hash MinHash signature —
+    one 60-bit hash per shingle, then ``hashers`` affine maps mod p
+    folded into one groupBy with ``hashers`` min() aggregates. No row
+    fan-out, no Python, whole-stage codegen end to end."""
     return _signatures_from_shingles(shingles(docs, n), hashers, fast_hash)
+
+
+def _signatures_from_shingles(sh: DataFrame, hashers: int,
+                              fast_hash: bool) -> DataFrame:
+    hv = F.pmod(hash_col(F.col("sh"), fast=fast_hash),
+                F.lit(MINHASH_PRIME))
+    params = minhash_params(hashers)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("hv") + F.lit(b),
+                     F.lit(MINHASH_PRIME))).alias(f"m{k}")
+        for k, (a, b) in enumerate(params)
+    ]
+    return sh.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(*aggs)
+
+
+def _band_signatures(sig: DataFrame, hashers: int,
+                     bands: int) -> DataFrame:
+    """signature table -> (doc_id, band, sig): md5 over the band's
+    comma-joined minima (matches the SQL oracle literally)."""
+    rows_per_band = hashers // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"m{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)])).alias("sig"))
+        for b in range(bands)
+    ]
+    return (sig.select("doc_id",
+                       F.explode(F.array(*band_structs)).alias("bs"))
+            .select("doc_id", F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = SHINGLE_N,
@@ -162,19 +224,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = SHINGLE_N,
                       reuse_shingles: bool = True) -> DataFrame:
     """MinHash signatures -> banded LSH candidates -> exact-Jaccard
     verification. -> (ida, idb, jaccard)."""
-    rows_per_band = hashers // bands
     sh = shingles(docs, n)
     if reuse_shingles:
         sh = sh.persist()
-    mh = _signatures_from_shingles(sh, hashers, fast_hash)
-    band_sig = (
-        mh.withColumn("band", F.floor(F.col("k") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(
-            ",", F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "mv"))),
-                lambda s: s["mv"].cast("string")))).alias("sig"))
-    )
+    band_sig = _band_signatures(
+        _signatures_from_shingles(sh, hashers, fast_hash), hashers, bands)
     cand = (
         band_sig.alias("a")
         .join(band_sig.alias("b"), ["band", "sig"])

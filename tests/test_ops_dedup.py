@@ -59,6 +59,18 @@ def test_minhash_lsh_subset_of_exact(docs):
     assert (1, 2) in lsh
 
 
+def test_minhash_signature_shape_and_range(docs):
+    sig = dd.minhash_signatures(docs).collect()
+    assert len(sig) == 5  # doc 5 has no shingles (2 words < n)
+    for r in sig:
+        for k in range(dd.MINHASH_HASHERS):
+            assert 0 <= r[f"m{k}"] < dd.MINHASH_PRIME
+    by_id = {r.doc_id: [r[f"m{k}"] for k in range(dd.MINHASH_HASHERS)]
+             for r in sig}
+    assert by_id[1] == by_id[2]          # identical docs
+    assert by_id[1] != by_id[4]          # different docs
+
+
 def test_simhash_fast_matches_portable(docs):
     slow = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
     fast = {r.doc_id: r.simhash for r in dd.simhash_fast(docs).collect()}
