@@ -132,7 +132,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     The shingle relation feeds four operators (both candidate sides,
     the verification join, the size table); ``reuse_shingles``
     persists it so the explode+distinct shuffle runs once, not 4x —
-    at cluster scale this is a materialized intermediate table."""
+    at cluster scale this is a materialized intermediate table.
+
+    Cache ownership: the persisted relation backs the *returned*
+    (lazy) DataFrame, so this function cannot unpersist it. Callers
+    that loop over many corpora in one session should release it with
+    ``spark.catalog.clearCache()`` after materializing the result;
+    one-shot jobs (the normal case) let executor eviction / session
+    teardown reclaim it."""
     sh = shingles(docs, n)
     if reuse_shingles:
         sh = sh.persist()
@@ -237,7 +244,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = SHINGLE_N,
                 F.col("b.doc_id").alias("idb"))
         .distinct()
     )
-    return _jaccard_from_candidates(shingles(docs, n), cand, threshold)
+    # verification MUST reuse the (possibly persisted) `sh` relation —
+    # rebuilding it here would materialize the largest intermediate of
+    # the whole job twice (the round-1 verdict's top perf bug).
+    return _jaccard_from_candidates(sh, cand, threshold)
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
@@ -270,38 +280,53 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
     )
 
 
-def simhash_fast(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Production SimHash: one pandas-UDF pass, numpy bit matrix per
-    Arrow batch — no row fan-out, no shuffle until (none). Matches
-    ``simhash(fast_hash=False)`` bit-for-bit (same md5-derived word
-    hashes) — asserted in tests."""
-    import hashlib
+def simhash_fast(docs: DataFrame, bits: int = SIMHASH_BITS,
+                 fast_hash: bool = False) -> DataFrame:
+    """Production SimHash: word hashing stays JVM-side (one
+    ``transform`` over the split-word array — md5 tier for oracle
+    parity, ``fast_hash=True`` swaps in xxhash64 codegen), then one
+    pandas-UDF pass folds the hash arrays with a bit-sliced numpy
+    majority — no row fan-out, no per-word Python hashing anywhere.
+    ``fast_hash=False`` matches ``simhash(fast_hash=False)``
+    bit-for-bit (same md5-derived word hashes) — asserted in tests.
+    Null text -> simhash 0 (the builtin formulation drops such docs).
+    """
+    harr = F.transform(F.split(F.col("text"), " "),
+                       lambda w: hash_col(w, fast=fast_hash))
 
     @F.pandas_udf(LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words, counts = np.unique((t or "").split(" "),
-                                      return_counts=True)
-            hs = np.array(
-                [int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
-                 for w in words], dtype=np.int64)
-            # bits x words sign matrix, weighted by term frequency
-            bitmat = ((hs[None, :] >> np.arange(bits)[:, None]) & 1)
-            score = ((bitmat * 2 - 1) * counts[None, :]).sum(axis=1)
-            out[i] = int(((score > 0).astype(np.int64)
-                          << np.arange(bits)).sum())
+    def fold(hs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs
+                if a is not None and len(a)]
+        out = np.zeros(len(hs), dtype=np.int64)
+        if arrs:
+            nz = np.array([a is not None and len(a) > 0 for a in hs])
+            all_h = np.concatenate(arrs)
+            offs = np.zeros(len(arrs), dtype=np.int64)
+            offs[1:] = np.cumsum([len(a) for a in arrs[:-1]])
+            sim = np.zeros(len(arrs), dtype=np.int64)
+            # bit-sliced: 60 passes over a flat int64 vector (memory-
+            # safe — never materializes the bits x words matrix)
+            for j in range(bits):
+                sj = (((all_h >> j) & 1) * 2 - 1)
+                scores = np.add.reduceat(sj, offs)
+                sim |= (scores > 0).astype(np.int64) << j
+            out[nz] = sim
         return pd.Series(out)
 
-    return docs.select("doc_id", sh("text").alias("simhash"))
+    return docs.select("doc_id", fold(harr).alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
-                  bits: int = SIMHASH_BITS) -> DataFrame:
+                  bits: int = SIMHASH_BITS,
+                  fast_hash: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, candidate-pruned by
     block keys (split the fingerprint into max_hamming+1 blocks; any
-    pair within distance must share one block — pigeonhole)."""
-    sig = simhash_fast(docs, bits)
+    pair within distance must share one block — pigeonhole).
+    Defaults to the xxhash64 production tier; pass fast_hash=False for
+    md5/oracle-portable fingerprints (pair recall agreement between
+    the two tiers is asserted in tests)."""
+    sig = simhash_fast(docs, bits, fast_hash=fast_hash)
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
     blk = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk")

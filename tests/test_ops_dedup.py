@@ -86,6 +86,23 @@ def test_simhash_identical_docs_distance_zero(docs):
     assert 0 < pairs[(1, 3)] <= 30
 
 
+def test_simhash_fast_tier_pair_recall_agrees(docs):
+    """xxhash64 production tier and md5 oracle tier use different hash
+    families, so fingerprints differ — but the *pair decisions* on the
+    fixture (exact dup at distance 0, near-dup close, unrelated far)
+    must agree."""
+    md5_pairs = {(r.ida, r.idb): r.hamming
+                 for r in dd.simhash_pairs(docs, max_hamming=10,
+                                           fast_hash=False).collect()}
+    xx_pairs = {(r.ida, r.idb): r.hamming
+                for r in dd.simhash_pairs(docs, max_hamming=10,
+                                          fast_hash=True).collect()}
+    for pairs in (md5_pairs, xx_pairs):
+        assert pairs[(1, 2)] == 0               # identical docs
+        assert 0 < pairs[(1, 3)] <= 10          # near-dup: close
+        assert not any(4 in p for p in pairs)   # unrelated: far
+
+
 def test_embedding_neardup_prefilter_subset(spark):
     import numpy as np
     rng = np.random.RandomState(7)
