@@ -336,6 +336,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", cleaned.alias("cleaned"))
     q["f6_clean_invisibles"] = f6_clean
 
+    def f3_nfc(spark, sf):
+        """F3: the DocParser text kernel (NFC FIRST, then clean_text —
+        the reference's docx-only asymmetry, docx_parser.py:43-46) run
+        as the real pipeline UDF over text with appended decomposed
+        sequences; the oracle NFC-composes with nfc_normalize()."""
+        _ensure_pkg(spark)
+        from document_parser_spark.functions.cleaning import (
+            make_docx_clean_udf,
+        )
+        d = _tbl(spark, sf, "documents")
+        dirty = F.concat(F.substring("text", 1, 60),
+                         F.lit(" Cafe\u0301 A\u030a /uni0416 \ufffd"))
+        return d.select("doc_id",
+                        make_docx_clean_udf()(dirty).alias("cleaned"))
+    q["f3_nfc_docx"] = f3_nfc
+
+    def f3_table(spark, sf):
+        """F3 cell asymmetry: the same table payload through BOTH cell
+        kernels — docx tier (clean only: mojibake survives) vs generic
+        pptx/xlsx/pdf/html tier (clean + to_utf8: mojibake repaired)."""
+        _ensure_pkg(spark)
+        from document_parser_spark.functions.cleaning import (
+            make_table_clean_udf,
+        )
+        d = _tbl(spark, sf, "documents")
+        payload = F.concat(F.substring("text", 1, 40),
+                           F.lit("\x1fmoji \u00c3\u00a9"))
+        return d.select(
+            "doc_id",
+            make_table_clean_udf(False)(payload).alias("docx_cells"),
+            make_table_clean_udf(True)(payload).alias("generic_cells"))
+    q["f3_docx_table_asymmetry"] = f3_table
+
     # ---- text analysis -------------------------------------------------
     q["text_token_stats"] = lambda spark, sf: ts.token_stats(
         _tbl(spark, sf, "documents"))
@@ -498,6 +531,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _invis_chain_sql(expr: str) -> str:
+    """DuckDB replace() chain over ALL 23 invisible codepoints —
+    generated from the same INVISIBLE_CODEPOINTS constant the Spark
+    translate uses, so the oracle can never silently cover a subset
+    of the character table."""
+    for c in INVISIBLE_CODEPOINTS:
+        expr = f"replace({expr}, chr({ord(c)}), ' ')"
+    return expr
+
 
 def _minhash_oracle(jaccard_tail: str) -> str:
     """Universal-hash MinHash oracle: one md5-derived 60-bit hash per
@@ -672,12 +715,31 @@ def oracle_sql() -> dict[str, str]:
                             WHERE r.doc_id = d.doc_id AND r.doc_id % 3 = 0)
           GROUP BY source
         """,
-        "f6_clean_invisibles": """
+        "f6_clean_invisibles": f"""
           SELECT doc_id,
-                 replace(replace(replace(
-                   chr(160) || text || chr(8203) || chr(65533),
-                   chr(160), ' '), chr(8203), ' '), chr(65533), '.')
+                 replace({_invis_chain_sql(
+                     "chr(160) || text || chr(8203) || chr(65533)")},
+                   chr(65533), '.')
                  AS cleaned
+          FROM documents
+        """,
+        "f3_nfc_docx": f"""
+          SELECT doc_id,
+                 {_invis_chain_sql(
+                     "replace(replace(nfc_normalize("
+                     "text[1:60] || ' Cafe' || chr(769) || ' A' || chr(778)"
+                     " || ' /uni0416 ' || chr(65533)),"
+                     " '/uni0416', chr(1046)), chr(65533), '.')")}
+                 AS cleaned
+          FROM documents
+        """,
+        "f3_docx_table_asymmetry": f"""
+          SELECT doc_id,
+                 {_invis_chain_sql(
+                     "text[1:40] || chr(31) || 'moji ' || chr(195)"
+                     " || chr(169)")} AS docx_cells,
+                 {_invis_chain_sql("text[1:40]")}
+                   || chr(31) || 'moji ' || chr(233) AS generic_cells
           FROM documents
         """,
         "text_token_stats": r"""

@@ -55,7 +55,15 @@ MOJIBAKE_LEAD_HI: str = "ô"
 # Span model (BASELINE.json input_hint / FIXTURES.md)
 # ---------------------------------------------------------------------------
 
-INPUT_KINDS = ("html", "pdf_line", "text", "image")
+# Input span vocabulary. "docx" / "docx_table" are the DocParser-path
+# kinds (docx_parser.py:43-49): text items get NFC *before* clean_text +
+# to_utf8, table cells get clean_text ONLY (no to_utf8 — the reference's
+# asymmetry). "table" is the generic table-span kind the pptx/xlsx
+# ingest mapping produces (pptx_parser.py:52-59 / xlsx_parser.py:53-60:
+# cells get clean_text + to_utf8, same as the pdf/html cell rule) —
+# pptx/xlsx docs ingest as kind "text" items + kind "table" tables.
+INPUT_KINDS = ("html", "pdf_line", "text", "image", "docx", "docx_table",
+               "table")
 OUTPUT_KINDS = ("heading", "text", "list_item", "table", "image", "code",
                 "page_break")
 

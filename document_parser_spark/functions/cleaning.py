@@ -19,12 +19,14 @@ import re
 import pandas as pd
 
 from document_parser_spark.config import (
+    CELL_SEP,
     INVISIBLE_CODEPOINTS,
     INVISIBLE_REPLACEMENT,
     MOJIBAKE_LEAD_HI,
     MOJIBAKE_LEAD_LO,
     REPLACEMENT_CHAR,
     REPLACEMENT_FIX,
+    ROW_SEP,
     UNI_ESCAPE_PATTERN,
 )
 from document_parser_spark.refparser.textkernel import fix_text, unescape_uni
@@ -78,6 +80,62 @@ def clean_and_fix_series(s: pd.Series) -> pd.Series:
     return fix_series(clean_series(s))
 
 
+def nfc_series(s: pd.Series) -> pd.Series:
+    """NFC normalization over a string Series via pandas
+    ``Series.str.normalize`` (unicodedata.normalize per element — the
+    same kernel the oracle uses, batched per Arrow chunk). NaN-safe."""
+    s = s.astype("object")
+    mask = s.notna()
+    if not mask.any():
+        return s
+    out = s.copy()
+    out[mask] = s[mask].str.normalize("NFC")
+    return out
+
+
+def docx_clean_series(s: pd.Series) -> pd.Series:
+    """The DocParser text-item kernel, vectorized: NFC FIRST, then
+    clean_text, then to_utf8 (docx_parser.py:43-46)."""
+    return fix_series(clean_series(nfc_series(s)))
+
+
+def table_clean_series(s: pd.Series, fix_cells: bool) -> pd.Series:
+    """Per-cell cleaning of table payloads (ROW_SEP rows / CELL_SEP
+    cells), vectorized with the flatten -> batch-clean -> group-join
+    pattern: every cell of every payload in the Arrow batch lands in
+    ONE flat Series so the char-heavy kernels run vectorized once;
+    payloads are rebuilt with two stable group-joins.
+
+    ``fix_cells=False`` encodes the DocParser asymmetry (clean_text
+    only, docx_parser.py:47-49); ``True`` is the pdf/html/pptx/xlsx
+    cell rule (pdf_parser.py:59-62)."""
+    import numpy as np
+
+    s = s.astype("object")
+    mask = s.notna()
+    if not mask.any():
+        return s
+    vals = s[mask]
+    rows_list = vals.str.split(ROW_SEP).tolist()
+    n_rows = [len(r) for r in rows_list]
+    flat_rows = pd.Series([r for rl in rows_list for r in rl],
+                          dtype="object")
+    row_payload = np.repeat(np.arange(len(vals)), n_rows)
+    cells_list = flat_rows.str.split(CELL_SEP).tolist()
+    n_cells = [len(c) for c in cells_list]
+    flat_cells = pd.Series([c for cl in cells_list for c in cl],
+                           dtype="object")
+    cleaned = clean_series(flat_cells)
+    if fix_cells:
+        cleaned = fix_series(cleaned)
+    cell_row = np.repeat(np.arange(len(flat_rows)), n_cells)
+    rows_joined = cleaned.groupby(cell_row).agg(CELL_SEP.join)
+    payloads = rows_joined.groupby(row_payload).agg(ROW_SEP.join)
+    out = s.copy()
+    out[mask] = payloads.to_numpy()
+    return out
+
+
 def collapse_series(s: pd.Series) -> pd.Series:
     """HTML whitespace collapse: runs of whitespace -> single space, strip."""
     return s.str.split().str.join(" ")
@@ -104,3 +162,26 @@ def make_clean_udf():
         return clean_and_fix_series(s)
 
     return clean_and_fix_udf
+
+
+def make_docx_clean_udf():
+    """Scalar pandas UDF for the DocParser text kernel (NFC -> clean
+    -> fix)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def docx_clean_udf(s: pd.Series) -> pd.Series:
+        return docx_clean_series(s)
+
+    return docx_clean_udf
+
+
+def make_table_clean_udf(fix_cells: bool):
+    """Scalar pandas UDF cleaning table payloads per cell."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def table_clean_udf(s: pd.Series) -> pd.Series:
+        return table_clean_series(s, fix_cells)
+
+    return table_clean_udf

@@ -27,7 +27,11 @@ from document_parser_spark.config import (
     STATUS_OK,
     STATUS_PARSE_FAILURE,
 )
-from document_parser_spark.functions.cleaning import make_clean_udf
+from document_parser_spark.functions.cleaning import (
+    make_clean_udf,
+    make_docx_clean_udf,
+    make_table_clean_udf,
+)
 from document_parser_spark.operators.html_parse import html_branch
 from document_parser_spark.operators.pdf_parse import pdf_branch
 from document_parser_spark.operators.reassemble import DOC_MARKER_KIND, reassemble
@@ -73,6 +77,36 @@ def parse_all_branches(df: DataFrame) -> DataFrame:
         )
     )
 
+    # DocParser path (docx_parser.py:43-49): text items NFC->clean->fix;
+    # table cells clean ONLY (the reference's to_utf8 asymmetry). Generic
+    # "table" spans (pptx/xlsx ingest mapping) get the pdf/html cell rule.
+    docx_rows = (
+        exploded.filter(F.col("kind") == "docx")
+        .withColumn("_clean", make_docx_clean_udf()("text"))
+        .filter(F.col("_clean").isNotNull() & ~F.col("_clean").rlike(r"(?U)^\s*$"))
+        .select(
+            "doc_id",
+            F.col("offset").alias("ord0"),
+            F.lit(0).alias("ord1"),
+            F.lit("text").alias("kind"),
+            F.col("_clean").alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+    )
+
+    def _table_rows(kind: str, fix_cells: bool) -> DataFrame:
+        return exploded.filter(F.col("kind") == kind).select(
+            "doc_id",
+            F.col("offset").alias("ord0"),
+            F.lit(0).alias("ord1"),
+            F.lit("table").alias("kind"),
+            make_table_clean_udf(fix_cells)("text").alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+
+    docx_table_rows = _table_rows("docx_table", fix_cells=False)
+    table_rows = _table_rows("table", fix_cells=True)
+
     image_rows = exploded.filter(F.col("kind") == "image").select(
         "doc_id",
         F.col("offset").alias("ord0"),
@@ -116,9 +150,10 @@ def parse_all_branches(df: DataFrame) -> DataFrame:
     )
 
     return (
-        text_rows.unionByName(image_rows).unionByName(html_rows)
-        .unionByName(unknown_rows).unionByName(pdf_rows)
-        .unionByName(marker_rows)
+        text_rows.unionByName(docx_rows).unionByName(docx_table_rows)
+        .unionByName(table_rows).unionByName(image_rows)
+        .unionByName(html_rows).unionByName(unknown_rows)
+        .unionByName(pdf_rows).unionByName(marker_rows)
     )
 
 

@@ -29,7 +29,11 @@ from document_parser_spark.config import (
 from document_parser_spark.refparser.html import parse_html
 from document_parser_spark.refparser.pdf import parse_pdf_lines
 from document_parser_spark.refparser.serialize import serialize_markdown
-from document_parser_spark.refparser.textkernel import clean_and_fix
+from document_parser_spark.refparser.textkernel import (
+    clean_and_fix,
+    clean_table_payload,
+    docx_clean_and_fix,
+)
 
 
 @dataclass
@@ -64,6 +68,22 @@ def parse_document(
             cleaned = clean_and_fix(text)
             if cleaned.strip():
                 keyed.append((offset, 0, "text", cleaned, ""))
+        elif kind == "docx":
+            # DocParser path: NFC first (docx_parser.py:43), then the
+            # shared clean+to_utf8 chain
+            cleaned = docx_clean_and_fix(text)
+            if cleaned.strip():
+                keyed.append((offset, 0, "text", cleaned, ""))
+        elif kind == "docx_table":
+            # DocParser cell asymmetry: clean_text only, NO to_utf8
+            # (docx_parser.py:47-49)
+            keyed.append((offset, 0, "table",
+                          clean_table_payload(text, fix_cells=False), ""))
+        elif kind == "table":
+            # generic (pptx/xlsx/pdf/html) cell rule: clean + to_utf8
+            # (pdf_parser.py:59-62, pptx_parser.py:52-59)
+            keyed.append((offset, 0, "table",
+                          clean_table_payload(text, fix_cells=True), ""))
         elif kind == "image":
             keyed.append((offset, 0, "image", "", media_ref or ""))
         elif kind == "html":

@@ -23,11 +23,13 @@ import re
 import unicodedata
 
 from document_parser_spark.config import (
+    CELL_SEP,
     INVISIBLE_CODEPOINTS,
     MOJIBAKE_LEAD_HI,
     MOJIBAKE_LEAD_LO,
     REPLACEMENT_CHAR,
     REPLACEMENT_FIX,
+    ROW_SEP,
     UNI_ESCAPE_PATTERN,
 )
 
@@ -94,3 +96,28 @@ def clean_and_fix(text: str) -> str:
     """The full per-text-item kernel in reference call-site order:
     clean_text then to_utf8 (pdf_parser.py:56-57)."""
     return fix_text(clean_text(text))
+
+
+def docx_clean_and_fix(text: str) -> str:
+    """The DocParser text-item kernel: NFC first, then clean_text,
+    then to_utf8 (docx_parser.py:43-46 — the only parser that
+    NFC-normalizes)."""
+    return fix_text(clean_text(normalize_nfc(text)))
+
+
+def clean_table_payload(payload: str, fix_cells: bool) -> str:
+    """Per-cell cleaning of a table span payload (rows joined by
+    ROW_SEP, cells by CELL_SEP). ``fix_cells=True`` is the pdf/html/
+    pptx/xlsx cell rule (clean_text + to_utf8, pdf_parser.py:59-62);
+    ``fix_cells=False`` is the DocParser asymmetry (clean_text ONLY,
+    docx_parser.py:47-49 — mojibake in docx table cells stays)."""
+    rows_out = []
+    for row in payload.split(ROW_SEP):
+        cells = []
+        for cell in row.split(CELL_SEP):
+            cell = clean_text(cell)
+            if fix_cells:
+                cell = fix_text(cell)
+            cells.append(cell)
+        rows_out.append(CELL_SEP.join(cells))
+    return ROW_SEP.join(rows_out)

@@ -150,6 +150,25 @@ def fixture_docs() -> list[tuple[str, list[Span]]]:
     docs.append(("t-0001", [("text", "Plain text span one.", "", 0),
                             ("text", "  ", "", 1),
                             ("text", "Plain text/uni0021 span � two.", "", 2)]))
+    # DocParser-path fixtures (F3 asymmetry, docx_parser.py:43-49):
+    # decomposed sequences NFC-compose in docx TEXT items only; mojibake
+    # in docx TABLE cells stays (no to_utf8), while the generic "table"
+    # kind (pptx/xlsx mapping) repairs it.
+    docs.append(("dx-0001", [
+        ("docx", "Cafe\u0301 paragraph with de\u0301composed"
+                 " se\u0301quences A\u030a long enough to keep.", "", 0),
+        ("docx_table", "ce\u0301ll stays decomposed\x1fmojibake"
+                       " \u00c3\u00a9 stays"
+                       "\x1ecell three\x1fplain /uni0041 cell", "", 1),
+        ("docx", "second docx paragraph with /uni0416 escape and"
+                 " \ufffd replacement.", "", 2),
+        ("docx", "   ", "", 3)]))           # blank docx item -> dropped
+    docs.append(("tb-0001", [
+        ("text", "Intro text before the generic table span.", "", 0),
+        ("table", "he\u0301ad stays decomposed\x1fmojibake"
+                  " \u00c3\u00a9 fixed"
+                  "\x1erow value\x1fplain cell", "", 1),
+        ("image", "", "img://tb-1", 2)]))
     docs.append(("u-0001", [("wav", "RIFF....", "media://a", 0),
                             ("text", "Good span in a doc with a bad one.", "", 1)]))
     docs.append(("u-0002", [("wav", "RIFF....", "media://b", 0)]))

@@ -115,3 +115,101 @@ class TestCleanAndFix:
     def test_idempotent_on_clean_output_for_plain(self, s):
         out = clean_and_fix(s)
         assert isinstance(out, str)
+
+
+class TestDocxAsymmetry:
+    """The DocParser path quirks (docx_parser.py:43-49): NFC only on
+    docx text items; table cells clean_text ONLY (no to_utf8) on the
+    docx path but clean_text + to_utf8 on every other parser path."""
+
+    def test_docx_text_nfc_then_clean_then_fix(self):
+        from document_parser_spark.refparser.textkernel import (
+            docx_clean_and_fix,
+        )
+        # decomposed e+combining acute composes; /uni and FFFD cleaned
+        assert docx_clean_and_fix("Café /uni0041 �") == \
+            "Café A ."
+
+    def test_non_docx_text_does_not_nfc(self):
+        # the pdf/html kernel must leave decomposed sequences alone
+        assert clean_and_fix("Café") == "Café"
+
+    def test_docx_table_cells_skip_to_utf8(self):
+        from document_parser_spark.refparser.textkernel import (
+            clean_table_payload,
+        )
+        payload = "aÃ©\x1fb�\x1ec/uni0041\x1fd"
+        out = clean_table_payload(payload, fix_cells=False)
+        # mojibake survives; clean_text still ran (FFFD -> '.', /uni)
+        assert out == "aÃ©\x1fb.\x1ecA\x1fd"
+
+    def test_generic_table_cells_get_to_utf8(self):
+        from document_parser_spark.refparser.textkernel import (
+            clean_table_payload,
+        )
+        payload = "aÃ©\x1fb�\x1ec/uni0041\x1fd"
+        out = clean_table_payload(payload, fix_cells=True)
+        assert out == "aé\x1fb.\x1ecA\x1fd"
+
+    def test_docx_table_does_not_nfc_cells(self):
+        from document_parser_spark.refparser.textkernel import (
+            clean_table_payload,
+        )
+        assert clean_table_payload("céll", fix_cells=False) == \
+            "céll"
+
+
+class TestVectorizedKernelParity:
+    """pandas batch kernels == the single-string oracle on the same
+    adversarial strings (the docx/table tier of the cleaning goldens)."""
+
+    CASES = [
+        "Café plain",
+        "mojibake Ã© text",
+        "/uni0416 and � and nbsp",
+        "",
+        "   ",
+    ]
+
+    def test_docx_clean_series(self):
+        import pandas as pd
+
+        from document_parser_spark.functions.cleaning import (
+            docx_clean_series,
+        )
+        from document_parser_spark.refparser.textkernel import (
+            docx_clean_and_fix,
+        )
+        got = docx_clean_series(pd.Series(self.CASES, dtype="object"))
+        assert list(got) == [docx_clean_and_fix(c) for c in self.CASES]
+
+    @pytest.mark.parametrize("fix_cells", [False, True])
+    def test_table_clean_series(self, fix_cells):
+        import pandas as pd
+
+        from document_parser_spark.functions.cleaning import (
+            table_clean_series,
+        )
+        from document_parser_spark.refparser.textkernel import (
+            clean_table_payload,
+        )
+        payloads = [
+            "a\x1fb\x1ec\x1fd",
+            "céll\x1fÃ©\x1e�\x1f/uni0041",
+            "single",
+            "",
+        ]
+        got = table_clean_series(pd.Series(payloads, dtype="object"),
+                                 fix_cells)
+        assert list(got) == [clean_table_payload(p, fix_cells)
+                             for p in payloads]
+
+    def test_table_clean_series_nan_safe(self):
+        import pandas as pd
+
+        from document_parser_spark.functions.cleaning import (
+            table_clean_series,
+        )
+        s = pd.Series([None, "a\x1fb"], dtype="object")
+        out = table_clean_series(s, fix_cells=True)
+        assert out[0] is None and out[1] == "a\x1fb"
