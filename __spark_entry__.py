@@ -380,12 +380,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "documents"))
 
     def rolling_fps(spark, sf):
-        """Rows-only: Rabin-Karp rolling span fingerprints (sequential
-        recurrence — the designated pandas-UDF path)."""
-        _ensure_pkg(spark)
-        return ts.rolling_fingerprints(
-            _tbl(spark, sf, "documents")).select(
-            "doc_id", F.size("fps").cast("long").alias("n_windows"))
+        """Rolling Rabin-Karp span fingerprints — built-in windowed
+        polynomial over JVM-hashed word arrays (no Python), now fully
+        oracle-matched (value compare via an order-preserving md5 over
+        the fingerprint list)."""
+        out = ts.rolling_fingerprints(_tbl(spark, sf, "documents"))
+        return out.select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_windows"),
+            F.md5(F.concat_ws(",", F.col("fps").cast("array<string>")))
+            .alias("fp_sig"))
     q["text_rolling_fingerprints"] = rolling_fps
 
     # ---- dedup ----------------------------------------------------------
@@ -434,15 +438,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_meta"] = mm_meta
 
     def mm_decode(spark, sf):
-        """Rows-only: mapInPandas decode-stub feature extraction."""
+        """mapInPandas decode-stub feature extraction, per-row and
+        oracle-matched: the stub header is pure arithmetic over
+        sha256(text) (width/height = 4 + digest-byte % 60), so DuckDB
+        recomputes every field; doc_id % 7 rows carry a truncated
+        payload exercising the never-throw error path (A4)."""
         _ensure_pkg(spark)
-        media = mm.synthesize_media(_tbl(spark, sf, "documents"))
+        media = mm.synthesize_media(_tbl(spark, sf, "documents"),
+                                    corrupt_every=7)
         feats = mm.extract_image_features(media)
-        return feats.groupBy().agg(
-            F.count("*").cast("long").alias("n_media"),
-            F.sum(F.col("decode_error").isNotNull().cast("long"))
-            .cast("long").alias("n_errors"),
-            F.round(F.avg("width"), 3).alias("avg_width"))
+        return feats.select(
+            "doc_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_channels").cast("long").alias("n_channels"),
+            F.col("decode_error").isNotNull().cast("long")
+            .alias("has_error"))
     q["multimodal_decode_stub"] = mm_decode
 
     def j1_ocr(spark, sf):
@@ -493,6 +504,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.length("markdown").cast("long").alias("md_len"))
     q["extract_pipeline"] = pipeline
 
+    def md_roundtrip(spark, sf):
+        """The headline pipeline with a REAL oracle: restricted to the
+        SQL-reconstructible doc family (text chunks + optional image —
+        the html family's DOM parse is not SQL-expressible), the full
+        pipeline output (status, span count, exact markdown string) is
+        value-hash-compared against a DuckDB reconstruction of the
+        chunk -> clean -> drop-blank -> reassemble -> serialize chain."""
+        _ensure_pkg(spark)
+        docs = _tbl(spark, sf, "documents") \
+            .filter(F.pmod("doc_id", F.lit(5)) != 0)
+        out = extract(_span_docs(docs))
+        return out.select("doc_id", "status",
+                          F.size("spans").cast("long").alias("n_spans"),
+                          "markdown")
+    q["extract_markdown_roundtrip"] = md_roundtrip
+
     # ---- relational coverage (engine-level joins/aggs, bench headliners)
     def q1_pricing(spark, sf):
         return (
@@ -540,6 +567,67 @@ def _invis_chain_sql(expr: str) -> str:
     for c in INVISIBLE_CODEPOINTS:
         expr = f"replace({expr}, chr({ord(c)}), ' ')"
     return expr
+
+
+def _rolling_fp_oracle(window: int = 8) -> str:
+    """Windowed-polynomial Rabin-Karp oracle: same md5-derived word
+    hashes mod p, same B^(k-1-j) weights quoted as literals."""
+    p, base = ts.ROLL_PRIME, ts.ROLL_BASE
+    pw = [pow(base % p, window - 1 - j, p) for j in range(window)]
+    terms = " + ".join(
+        f"(ha[i+{j}] * {pw[j]}) % {p}" if j else f"(ha[i] * {pw[0]}) % {p}"
+        for j in range(window))
+    return f"""
+      WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents),
+      h AS (SELECT doc_id,
+                   list_transform(arr, w ->
+                     ('0x' || substr(md5(w), 1, 15))::bigint % {p}) AS ha,
+                   len(arr) AS n
+            FROM s),
+      f AS (SELECT doc_id,
+                   CASE WHEN n >= {window}
+                        THEN list_transform(range(1, n - {window - 2}),
+                                            i -> ({terms}) % {p})
+                        ELSE CAST([] AS BIGINT[]) END AS fps
+            FROM h)
+      SELECT doc_id, len(fps)::bigint AS n_windows,
+             md5(array_to_string(fps, ',')) AS fp_sig
+      FROM f
+    """
+
+
+def _md_roundtrip_oracle() -> str:
+    """DuckDB reconstruction of the text+image pipeline family:
+    8-word chunks -> clean chain (full invisible table + U+FFFD) ->
+    blank-drop -> ordered reassembly -> markdown join ('\\n\\n' between
+    blocks, '<!-- image -->' placeholder for the trailing image)."""
+    cleaned = "replace(" + _invis_chain_sql("ch") + ", chr(65533), '.')"
+    return f"""
+      WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents WHERE doc_id % 5 <> 0),
+      chunks AS (SELECT doc_id, i,
+                        array_to_string(arr[i*8+1 : i*8+8], ' ') AS ch
+                 FROM (SELECT doc_id, arr,
+                              unnest(range((len(arr) + 7) // 8)) AS i
+                       FROM s)),
+      kept AS (SELECT doc_id, i, {cleaned} AS ch
+               FROM chunks WHERE trim({cleaned}) <> ''),
+      blocks AS (
+        SELECT doc_id, i AS ord, ch AS md FROM kept
+        UNION ALL
+        SELECT doc_id, 2147483647 AS ord, '<!-- image -->' AS md
+        FROM s WHERE doc_id % 3 = 0),
+      agg AS (SELECT doc_id, count(*)::bigint AS n_spans,
+                     string_agg(md, chr(10) || chr(10) ORDER BY ord)
+                     AS markdown
+              FROM blocks GROUP BY doc_id)
+      SELECT doc_id, 'ok' AS status, n_spans, markdown FROM agg
+      UNION ALL
+      SELECT doc_id, 'empty' AS status, 0::bigint AS n_spans,
+             '' AS markdown
+      FROM s WHERE doc_id NOT IN (SELECT doc_id FROM agg)
+    """
 
 
 def _minhash_oracle(jaccard_tail: str) -> str:
@@ -767,6 +855,8 @@ def oracle_sql() -> dict[str, str]:
           FROM t
         """,
         "text_lang_id": lang_best,
+        "text_rolling_fingerprints": _rolling_fp_oracle(),
+        "extract_markdown_roundtrip": _md_roundtrip_oracle(),
         "text_fingerprint": r"""
           SELECT doc_id,
                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
@@ -835,6 +925,22 @@ def oracle_sql() -> dict[str, str]:
           SELECT ({bucket_expr})::bigint AS bucket,
                  count(*)::bigint AS n_vecs
           FROM embeddings GROUP BY 1
+        """,
+        "multimodal_decode_stub": """
+          WITH m AS (SELECT doc_id, sha256(text) AS hx
+                     FROM documents WHERE doc_id % 3 = 0)
+          SELECT doc_id::varchar AS doc_id,
+                 (CASE WHEN doc_id % 7 = 0 THEN NULL
+                       ELSE 4 + ('0x' || substr(hx, 1, 2))::int % 60
+                  END)::bigint AS width,
+                 (CASE WHEN doc_id % 7 = 0 THEN NULL
+                       ELSE 4 + ('0x' || substr(hx, 3, 2))::int % 60
+                  END)::bigint AS height,
+                 (CASE WHEN doc_id % 7 = 0 THEN NULL
+                       ELSE 3 END)::bigint AS n_channels,
+                 (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::bigint
+                 AS has_error
+          FROM m
         """,
         "multimodal_meta": """
           SELECT doc_id, octet_length(unhex(md5(text)))::bigint AS n_bytes,

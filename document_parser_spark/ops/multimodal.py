@@ -152,10 +152,16 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_media(docs: DataFrame, modulo: int = 3) -> DataFrame:
+def synthesize_media(docs: DataFrame, modulo: int = 3,
+                     corrupt_every: int | None = None) -> DataFrame:
     """Derive a deterministic MEDIA_SCHEMA table from a documents
     table (for tests/bench: every doc_id % modulo == 0 gets one fake
-    image whose pixels are seeded by the doc text digest)."""
+    image whose pixels are seeded by the doc text digest).
+
+    ``corrupt_every=k`` truncates the payload of every doc_id % k == 0
+    row below the 12-byte header — a deterministic decode-error tier
+    so the never-throw error path (A4 rule) is exercised and
+    oracle-checkable."""
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -167,6 +173,8 @@ def synthesize_media(docs: DataFrame, modulo: int = 3) -> DataFrame:
                 h = 4 + dg[1] % 60
                 payload = (dg * ((w * 3) // len(dg) + 1))[: w * 3]
                 content = DecodeStub.pack_header(w, h, 3, payload)
+                if corrupt_every and int(doc_id) % corrupt_every == 0:
+                    content = content[:8]   # < header size -> decode error
                 rows.append((str(doc_id), f"img://{doc_id}", "image",
                              content, len(content)))
             yield pd.DataFrame(rows, columns=[f.name for f in

@@ -3,9 +3,10 @@
 Language-ID, quality scoring, token counting, and document
 fingerprinting — the per-document scoring pass of a training-data
 pipeline. Everything here is built-in-function only (whole-stage
-codegen, no Python in the hot path) except ``rolling_fingerprints``,
-which is a vectorized pandas UDF because a Rabin-Karp rolling hash is
-a sequential recurrence the SQL function library cannot express.
+codegen, no Python in the hot path), including the rolling
+fingerprints (direct windowed-polynomial form over a JVM-hashed word
+array — see the function docstring for why that beats the sequential
+recurrence here).
 
 All column names are aliased exactly as the driver's DuckDB oracles
 expect (the compare hashes values under sorted column names).
@@ -13,10 +14,7 @@ expect (the compare hashes values under sorted column names).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 # Shared vocabulary for the language-ID heuristic. Tiny on purpose —
 # it is broadcast into every task as a literal filter; at 100 TB the
@@ -114,46 +112,49 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
+ROLL_PRIME = (1 << 31) - 1   # Mersenne: h*B^j products stay < 2^62
+ROLL_BASE = 1000003
+
+
 def rolling_fingerprints(docs: DataFrame, window: int = 8,
-                         base: int = 1000003,
-                         mod: int = (1 << 61) - 1) -> DataFrame:
-    """Rabin-Karp rolling hashes over the word stream, one fingerprint
-    per ``window``-word span -> (doc_id, fps array<long>).
+                         base: int = ROLL_BASE,
+                         mod: int = ROLL_PRIME) -> DataFrame:
+    """Rabin-Karp-style rolling hashes over the word stream, one
+    fingerprint per ``window``-word span -> (doc_id, fps array<long>).
+    Used for locality-sensitive span-level dedup (content-defined
+    chunking style).
 
-    A rolling recurrence (h_{i+1} = (h_i - w_i*B^{k-1})*B + w_{i+k})
-    is inherently sequential per document, so this is the designated
-    pandas-UDF slow path: numpy-vectorized across the window starts of
-    each doc, Arrow-batched across docs. Used for locality-sensitive
-    span-level dedup (content-defined chunking style).
+    Entirely built-in (whole-stage codegen, zero Python): word hashes
+    are a JVM ``transform`` over the split-word array (portable 60-bit
+    md5 hash reduced mod p — identical in the DuckDB oracle), and each
+    window fingerprint is the direct polynomial
+    ``H_i = sum_j h[i+j] * B^(k-1-j) mod p`` as a second transform.
+    The classic O(n) rolling *recurrence* saves only the constant
+    factor k over this O(n*k) form but would force the computation
+    into Python (sequential per doc); with k=8 the JVM form wins.
+    p = 2^31-1 keeps every product below 2^62 — no int64 overflow in
+    either engine.
     """
-    def hash_word(w: str) -> int:
-        # FNV-1a, pure python but called once per word per doc
-        h = 0xcbf29ce484222325
-        for b in w.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
-        return h & 0x7FFFFFFFFFFFFFFF
+    from document_parser_spark.ops.hashing import h60
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def roll(texts: pd.Series) -> pd.Series:
-        out = []
-        pow_k = pow(base, window - 1, mod)
-        for t in texts:
-            words = (t or "").split(" ")
-            hs = np.array([hash_word(w) for w in words], dtype=np.int64)
-            n = len(hs)
-            if n < window:
-                out.append([])
-                continue
-            fps = np.empty(n - window + 1, dtype=np.int64)
-            h = 0
-            for i in range(window):
-                h = (h * base + int(hs[i])) % mod
-            fps[0] = h
-            for i in range(1, n - window + 1):
-                h = ((h - int(hs[i - 1]) * pow_k) * base
-                     + int(hs[i + window - 1])) % mod
-                fps[i] = h % mod
-            out.append([int(x) % mod for x in fps])
-        return pd.Series(out)
+    pw = [pow(base % mod, window - 1 - j, mod) for j in range(window)]
+    harr = F.transform(F.split(F.col("text"), " "),
+                       lambda w: F.pmod(h60(w), F.lit(mod)))
 
-    return docs.select("doc_id", roll("text").alias("fps"))
+    def fp_at(i):
+        terms = [
+            F.pmod(F.element_at(F.col("_ha"), (i + j + 1).cast("int"))
+                   * F.lit(pw[j]), F.lit(mod))
+            for j in range(window)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return F.pmod(total, F.lit(mod))
+
+    fps = F.when(
+        F.size("_ha") >= window,
+        F.transform(F.sequence(F.lit(0), F.size("_ha") - window), fp_at)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (docs.select("doc_id", harr.alias("_ha"))
+            .select("doc_id", fps.alias("fps")))
