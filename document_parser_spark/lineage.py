@@ -103,10 +103,18 @@ def _commit_bucket(spark: SparkSession, bucket_df: DataFrame, out_dir: str,
                    bucket: int, input_files: list[str]) -> dict:
     """Write one bucket's data then its lineage row. Crash between the
     two leaves the bucket non-READY -> rewritten on restart (idempotent:
-    the data write is an overwrite of the bucket directory)."""
+    the data write is an overwrite of the bucket directory).
+
+    The in-progress write lands under ``out_dir/_tmp`` — deliberately
+    OUTSIDE the ``part_bucket=*`` glob namespace ``read_output`` scans,
+    so a crash between the data write and the rename can never leak
+    partial/duplicate rows into a post-crash read (and can never turn
+    the inferred partition column into a string via a
+    ``part_bucket=<b>.inprogress`` directory name)."""
     data_dir = os.path.join(out_dir, f"{BUCKET_COL}={bucket}")
-    tmp_dir = data_dir + ".inprogress"
+    tmp_dir = os.path.join(out_dir, "_tmp", f"bucket={bucket}")
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(os.path.dirname(tmp_dir), exist_ok=True)
 
     stats = bucket_df.select(
         F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("span_count"),

@@ -31,29 +31,61 @@ from pyspark.sql import Column, DataFrame, functions as F
 from document_parser_spark.ops.textstats import EN_STOP_RATIO_MIN, STOPWORDS
 
 OCR_PREFIX = "[ocr:"
+# The reference's OCR failure semantics (image_parser.py:174-182): a
+# generic exception during per-element image parsing yields a FIXED
+# fallback string spliced into the document (not an empty string, not
+# a failure row). Ours is English; the reference's is Russian prose.
+OCR_FALLBACK_TEXT = "*image parsing hit a network delay*"
 
 
-def ocr_stub(media_ref: Column) -> Column:
-    """Deterministic fake VLM output for a media ref (sha2-derived, so
-    golden tests are stable). Empty/whitespace output never happens by
-    construction — the reference's P4 guard is kept in the caller."""
-    return F.concat(F.lit(OCR_PREFIX),
-                    F.substring(F.sha2(media_ref, 256), 1, 12), F.lit("]"))
+def ocr_stub(seed: Column, fail_marker: str | None = None) -> Column:
+    """Deterministic fake VLM output for a media ref / table payload
+    (sha2-derived, so golden tests are stable). Empty/whitespace
+    output never happens by construction — the reference's P4 guard is
+    kept in the caller. ``fail_marker`` makes the stub
+    failure-injectable: seeds containing the marker take the
+    reference's fallback-string path (image_parser.py:174-182)."""
+    ok = F.concat(F.lit(OCR_PREFIX),
+                  F.substring(F.sha2(seed, 256), 1, 12), F.lit("]"))
+    if fail_marker is None:
+        return ok
+    return F.when(seed.contains(fail_marker),
+                  F.lit(OCR_FALLBACK_TEXT)).otherwise(ok)
 
 
 def insert_ocr_after_images(docs: DataFrame,
-                            spans_col: str = "spans") -> DataFrame:
-    """J1: splice an OCR text span immediately after every image span,
-    renumbering offsets 0..n-1. Narrow map over the span array."""
+                            spans_col: str = "spans",
+                            include_tables: bool = True,
+                            fail_marker: str | None = None) -> DataFrame:
+    """J1: splice an OCR text span immediately after every image span
+    — and, matching the reference's ``PictureItem OR TableItem``
+    condition (pdf_parser.py:64-71), after every table span — then
+    renumber offsets 0..n-1. Narrow map over the span array.
+
+    Table OCR seeds on the table payload (the reference renders the
+    table to an image via ``element.get_image``; our deterministic
+    stand-in hashes the content instead). ``include_tables=False``
+    restricts to images. ``fail_marker`` injects the reference's
+    OCR-failure fallback string (see ``ocr_stub``)."""
+    def is_target(s):
+        img = (s["kind"] == "image") & (F.length(s["media_ref"]) > 0)
+        if not include_tables:
+            return img
+        return img | (s["kind"] == "table")
+
+    def seed(s):
+        return F.when(F.length(s["media_ref"]) > 0, s["media_ref"]) \
+                .otherwise(F.coalesce(s["text"], F.lit("")))
+
     enriched = F.flatten(F.transform(
         F.col(spans_col),
         lambda s: F.when(
-            (s["kind"] == "image") & (F.length(s["media_ref"]) > 0),
+            is_target(s),
             F.array(
                 s,
                 F.struct(
                     F.lit("text").alias("kind"),
-                    ocr_stub(s["media_ref"]).alias("text"),
+                    ocr_stub(seed(s), fail_marker).alias("text"),
                     F.lit("").alias("media_ref"),
                     s["offset"].alias("offset"),
                 ),

@@ -5,8 +5,10 @@ The reference is request/response; its streaming-adjacent semantics
 When a continuously-arriving span table is wanted instead, this
 module wraps the IDENTICAL batch pipeline in ``readStream`` →
 ``foreachBatch`` — no new operators, the batch plan is the streaming
-plan. Checkpointing gives exactly-once per input file; within a batch
-the extract dataflow is deterministic, so replays are idempotent.
+plan. Checkpointing makes each input file belong to exactly one
+epoch; the per-epoch dynamic-partition overwrite inside the batch
+writer makes epoch replays idempotent (foreachBatch alone is only
+at-least-once), so the OUTPUT is exactly-once.
 
 ``sessionize_events`` is the stateful-streaming example (event-time
 window + watermark): the W3 boundary-detection semantics expressed
@@ -45,9 +47,17 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     stream = reader.load(input_dir)
 
     def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Idempotent per-epoch commit: foreachBatch is at-least-once,
+        # so a retried epoch must replace (not re-append) its own
+        # output. Partitioning by epoch_id + dynamic partition
+        # overwrite rewrites exactly the retried epoch's directory and
+        # leaves every other epoch untouched -> exactly-once output.
         (extract(batch_df, image_mode=image_mode, **extract_kwargs)
          .withColumn("epoch_id", F.lit(epoch_id))
-         .write.mode("append").parquet(output_dir))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch_id")
+         .parquet(output_dir))
 
     writer = (stream.writeStream
               .foreachBatch(run_batch)

@@ -97,3 +97,49 @@ def test_plain_extract_unchanged_by_flags_off(spark, mixed):
     b = sorted(map(str, extract(mixed, parse_images=False, translate=False,
                                 detect_lang=False).collect()))
     assert a == b
+
+
+def test_ocr_table_splice_matches_reference_condition(spark):
+    """pdf_parser.py:64-71 OCRs PictureItem OR TableItem — table spans
+    must get an OCR span too (seeded on the payload: deterministic)."""
+    docs = _docs(spark, [
+        ("tb", [("text", "before", "", 0),
+                ("table", "a\x1fb\x1ec\x1fd", "", 1),
+                ("text", "after", "", 2)]),
+    ])
+    out = extract(docs, parse_images=True)
+    spans = [(s.kind, s.text) for s in out.head().spans]
+    assert [k for k, _ in spans] == ["text", "table", "text", "text"]
+    assert spans[2][1].startswith(enrich.OCR_PREFIX)
+    # opt-out restores image-only behavior
+    from document_parser_spark.operators.enrich import (
+        insert_ocr_after_images,
+    )
+    from document_parser_spark.plans.pipeline import parse_all_branches
+    from document_parser_spark.operators.reassemble import reassemble
+    base = reassemble(parse_all_branches(docs))
+    img_only = insert_ocr_after_images(base, include_tables=False)
+    assert [s.kind for s in img_only.head().spans] == \
+        ["text", "table", "text"]
+
+
+def test_ocr_failure_fallback_string(spark):
+    """image_parser.py:174-182: an OCR failure yields a FIXED fallback
+    string spliced in (not empty, not a failure row)."""
+    docs = _docs(spark, [
+        ("f1", [("image", "", "img://ok", 0),
+                ("image", "", "img://bad#timeout", 1)]),
+    ])
+    from document_parser_spark.operators.enrich import (
+        insert_ocr_after_images,
+    )
+    from document_parser_spark.plans.pipeline import parse_all_branches
+    from document_parser_spark.operators.reassemble import reassemble
+    base = reassemble(parse_all_branches(docs))
+    out = insert_ocr_after_images(base, fail_marker="#timeout")
+    r = out.head()
+    texts = [s.text for s in r.spans]
+    assert texts[1].startswith(enrich.OCR_PREFIX)          # ok image
+    assert texts[3] == enrich.OCR_FALLBACK_TEXT            # failed image
+    assert [s.offset for s in r.spans] == [0, 1, 2, 3]
+    assert r.n_failures == 0                               # NOT a fail row

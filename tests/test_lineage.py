@@ -90,3 +90,18 @@ def test_error_rows_counted(spark, out_dir):
         row = json.load(fh)
     assert set(row) == {"partition_id", "status", "input_files",
                         "span_count", "parse_failures", "updated_at"}
+
+
+def test_crash_leftover_tmp_dir_invisible_to_read_output(spark, result,
+                                                         out_dir):
+    """A crash between the data write and the rename must not leak the
+    in-progress directory into read_output (it lives under _tmp/,
+    outside the part_bucket=* glob namespace)."""
+    lin.run_with_lineage(spark, result, out_dir, n_partitions=N_PART)
+    clean = lin.read_output(spark, out_dir).count()
+    # simulate a crashed half-committed bucket write
+    stale = os.path.join(out_dir, "_tmp", "bucket=3")
+    result.limit(2).write.mode("overwrite").parquet(stale)
+    got = lin.read_output(spark, out_dir)
+    assert got.count() == clean                      # no duplicated rows
+    assert dict(got.dtypes)[lin.BUCKET_COL] == "int"  # type not poisoned

@@ -76,3 +76,28 @@ def test_session_window_matches_lag_form(spark):
                     sess.groupBy("user_id")
                     .agg(F.sum("n_events").alias("total")).collect())
     assert n_events == {1: 3, 2: 1}
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once; the per-epoch dynamic partition
+    overwrite must make a replayed epoch rewrite (not duplicate) its
+    own output."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    fixtures = fixtures_dataframe(spark)
+    fixtures.write.parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    # simulate a retry of epoch 0: re-run the same batch writer body
+    epoch0 = spark.read.parquet(out_dir).filter(
+        F.col("epoch_id") == 0).count()
+    (extract(spark.read.parquet(in_dir))
+     .withColumn("epoch_id", F.lit(0))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch_id")
+     .parquet(out_dir))
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n1                          # no duplicates
+    assert out.filter(F.col("epoch_id") == 0).count() == epoch0
