@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
                         "coalesces down")
     p.add_argument("--no-resume", action="store_true",
                    help="ignore existing lineage (full re-run)")
+    p.add_argument("--raw-bytes", action="store_true",
+                   help="input is (doc_id, content: binary): decode via "
+                        "the F1 utf-8 -> detected-codec -> replace chain "
+                        "before extraction")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -68,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     docs = spark.read.parquet(args.input)
+    if args.raw_bytes:
+        from document_parser_spark.sources.ingest import ingest_raw_text
+        docs = ingest_raw_text(docs)
     result = extract(docs, image_mode=args.image_mode,
                      salt_buckets=args.salt_buckets)
     done = lin.run_with_lineage(

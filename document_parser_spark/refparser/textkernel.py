@@ -85,6 +85,41 @@ def fix_text(text: str) -> str:
     return text
 
 
+def detect_encoding(raw: bytes) -> str | None:
+    """Deterministic chardet stand-in for the F1 bytes branch. Called
+    only after strict utf-8 failed. The discriminator is high-byte
+    DENSITY, not range (Cyrillic and Western accented letters share
+    0xC0-0xFF): cp1251 prose is almost entirely high bytes (every
+    letter >= 0xC0), while cp1252 prose has sparse accents in ASCII
+    text. Dense-and-in-range -> cp1251; otherwise cp1252 (the
+    Western-European superset). Returns None for pure-ASCII input
+    (utf-8 could not have failed then; the guard keeps it total)."""
+    letters = [b for b in raw if b not in b" \t\r\n.,;:!?0123456789"]
+    high = [b for b in raw if b >= 0x80]
+    if not high:
+        return None
+    density = len(high) / max(len(letters), 1)
+    in_cyr_range = sum(1 for b in high if 0xC0 <= b <= 0xFF) / len(high)
+    return "cp1251" if density > 0.5 and in_cyr_range > 0.9 else "cp1252"
+
+
+def to_utf8_bytes(raw: bytes) -> str:
+    """F1, the bytes branch of the reference's to_utf8
+    (abc/abc.py:45-56): strict utf-8 first; on failure decode with the
+    detected encoding; last resort utf-8 with errors='replace'. The
+    detector is our deterministic subset (chardet is not available and
+    is version-unstable; the three-step chain is the spec)."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    enc = detect_encoding(raw) or "utf-8"
+    try:
+        return raw.decode(enc)
+    except (UnicodeDecodeError, LookupError):
+        return raw.decode("utf-8", errors="replace")
+
+
 def normalize_nfc(text: str) -> str:
     """NFC normalization (abc/abc.py:66-69). Applied only on the docx-kind
     path in the reference; our input kinds never trigger it, but the kernel
