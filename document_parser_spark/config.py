@@ -130,6 +130,10 @@ IMAGE_MODE_REFERENCED = "referenced"
 
 # Default salt fan-out for the two-phase reassembly collect (SURVEY §4.1).
 DEFAULT_SALT_BUCKETS: int = 8
+# Span count above which a document takes the salted two-phase path
+# (adaptive salting — measured in tools/skew_bench.py: always-on
+# salting costs ~1.6x on ordinary size distributions).
+SALT_SPAN_THRESHOLD: int = 65536
 # Stable output-partition count for lineage/restart bucketing.
 DEFAULT_OUTPUT_PARTITIONS: int = 64
 SYNTH_SEED: int = 42

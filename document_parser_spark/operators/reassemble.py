@@ -7,50 +7,101 @@ exclusively by the ``(ord0, ord1)`` key inside the collected struct — never by
 row order, which no shuffle preserves.
 
 Skew handling (north_rule): giant documents are salted across
-``salt_buckets`` partial groups first (two-phase collect), so a single hot
-doc_id cannot pin one reducer: phase 1 groups by (doc_id, salt) with map-side
-partial aggregation; phase 2 merges the K partial arrays per doc and sorts
-ONCE after flatten (``array_sort(flatten(collect_list(part)))`` — provably
-order-restoring because the sort key is inside each element).
+``salt_buckets`` partial groups (two-phase collect), so a single hot doc_id
+cannot pin one reducer's shuffle fetch: phase 1 groups by (doc_id, salt) with
+map-side partial aggregation; phase 2 merges the K partial arrays per doc and
+sorts ONCE after flatten (``array_sort(flatten(collect_list(part)))`` —
+provably order-restoring because the sort key is inside each element).
+
+Salting is ADAPTIVE by default (``salt_threshold``): measured on this host
+(tools/skew_bench.py), always-on two-phase costs ~1.6x on ordinary
+distributions (a second full shuffle of every span, while the final merge of
+a hot doc is one task either way), and its real value is bounding the
+per-reducer fetch/build for pathological documents. So only docs whose span
+count exceeds the threshold take the two-phase path — identified by a cheap
+map-side-combined count pre-aggregation whose shuffle carries ~one row per
+(doc, input partition) — and everything else reassembles in one phase.
+``salt_threshold=None`` forces two-phase for all docs (the round-1
+behavior); ``salted=False`` disables salting entirely. The output array for
+a W-span doc is ~60*W bytes in ONE row regardless of salting — cap spans/doc
+at ingest (SURVEY §7.3.4); measured here: 16M-span docs exceed a 24 GB heap
+in Collect.serialize either way.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from document_parser_spark.config import DEFAULT_SALT_BUCKETS
+from document_parser_spark.config import (
+    DEFAULT_SALT_BUCKETS,
+    SALT_SPAN_THRESHOLD,
+)
 from document_parser_spark.schema import FAIL_KIND
 
 DOC_MARKER_KIND = "__doc__"
 _META_KINDS = (FAIL_KIND, DOC_MARKER_KIND)
 
-
-def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
-               salted: bool = True) -> DataFrame:
-    """PARSED_SCHEMA rows -> (doc_id, spans array<struct> in reading order
-    with offsets renumbered 0..n-1, n_failures).
-
-    Fail rows (kind='__fail__') and per-doc presence markers (kind='__doc__',
-    emitted so that fully-filtered docs still surface with status 'empty')
-    are tallied/stripped here.
-    """
-    item = F.struct(
+def _item() -> F.Column:
+    return F.struct(
         F.col("ord0"), F.col("ord1"), F.col("kind"),
         F.col("text"), F.col("media_ref"),
     )
+
+
+def _two_phase(parsed: DataFrame, salt_buckets: int) -> DataFrame:
+    part = (
+        parsed
+        .groupBy("doc_id",
+                 F.pmod(F.hash("ord0", "ord1"), F.lit(salt_buckets))
+                 .alias("_salt"))
+        .agg(F.collect_list(_item()).alias("part"))
+    )
+    return part.groupBy("doc_id").agg(
+        F.array_sort(F.flatten(F.collect_list("part"))).alias("items"))
+
+
+def _single_phase(parsed: DataFrame) -> DataFrame:
+    return parsed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(_item())).alias("items"))
+
+
+def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
+               salted: bool = True,
+               salt_threshold: int | None = None,
+               doc_sizes: DataFrame | None = None) -> DataFrame:
+    """PARSED_SCHEMA rows -> (doc_id, spans array<struct> in reading order
+    with offsets renumbered 0..n-1, n_failures).
+
+    ``salt_threshold``: span count above which a doc takes the salted
+    two-phase path (None = every doc, the always-salt mode). In
+    adaptive mode the hot set comes from ``doc_sizes`` (doc_id, _n) if
+    given — ``extract`` passes a cheap estimate computed from the raw
+    input scan, so the expensive parsed relation is consumed exactly
+    once; without it, sizes are counted from ``parsed`` itself, which
+    re-evaluates that plan (fine when the caller's ``parsed`` is a
+    materialized table, wasteful when it is a UDF pipeline). Fail rows
+    (kind='__fail__') and per-doc presence markers (kind='__doc__',
+    emitted so that fully-filtered docs still surface with status
+    'empty') are tallied/stripped here.
+    """
     if salted and salt_buckets > 1:
-        part = (
-            parsed
-            .groupBy("doc_id",
-                     F.pmod(F.hash("ord0", "ord1"), F.lit(salt_buckets))
-                     .alias("_salt"))
-            .agg(F.collect_list(item).alias("part"))
-        )
-        docs = part.groupBy("doc_id").agg(
-            F.array_sort(F.flatten(F.collect_list("part"))).alias("items"))
+        if salt_threshold is None:
+            docs = _two_phase(parsed, salt_buckets)
+        else:
+            if doc_sizes is None:
+                doc_sizes = parsed.groupBy("doc_id") \
+                    .agg(F.count("*").alias("_n"))
+            hot_ids = (doc_sizes.filter(F.col("_n") > salt_threshold)
+                       .select("doc_id", F.lit(True).alias("_hot")))
+            tagged = parsed.join(F.broadcast(hot_ids), "doc_id", "left")
+            docs = _two_phase(
+                tagged.filter(F.col("_hot").isNotNull()).drop("_hot"),
+                salt_buckets,
+            ).unionByName(
+                _single_phase(tagged.filter(F.col("_hot").isNull())
+                              .drop("_hot")))
     else:
-        docs = parsed.groupBy("doc_id").agg(
-            F.array_sort(F.collect_list(item)).alias("items"))
+        docs = _single_phase(parsed)
 
     meta = F.array(*[F.lit(k) for k in _META_KINDS])
     return docs.select(

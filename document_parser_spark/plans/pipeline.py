@@ -23,6 +23,7 @@ from document_parser_spark.config import (
     DEFAULT_SALT_BUCKETS,
     IMAGE_MODE_PLACEHOLDER,
     INPUT_KINDS,
+    SALT_SPAN_THRESHOLD,
     STATUS_EMPTY,
     STATUS_OK,
     STATUS_PARSE_FAILURE,
@@ -162,6 +163,7 @@ def extract(
     image_mode: str = IMAGE_MODE_PLACEHOLDER,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     salted: bool = True,
+    salt_threshold: int | None = SALT_SPAN_THRESHOLD,
     parse_images: bool = False,
     translate: bool = False,
     detect_lang: bool = False,
@@ -176,7 +178,24 @@ def extract(
     maps over the reassembled span array — zero extra shuffles.
     """
     parsed = parse_all_branches(df)
-    docs = reassemble(parsed, salt_buckets=salt_buckets, salted=salted)
+    # Adaptive-salting size estimate from the RAW input scan (cheap:
+    # no UDF work), so the parsed relation is consumed exactly once.
+    # Parsed size ~ input span count + parsed blocks from payload text
+    # (html expands one span into many blocks; ~200 bytes/block is a
+    # deliberate overestimate — the threshold is an OOM/straggler
+    # guard, so erring toward the two-phase path is the safe side).
+    doc_sizes = None
+    if salted and salt_threshold is not None:
+        est = (
+            F.size("spans")
+            + (F.aggregate(
+                "spans", F.lit(0),
+                lambda a, s: a + F.coalesce(F.length(s["text"]), F.lit(0)))
+               / F.lit(200)).cast("int")
+        )
+        doc_sizes = df.select("doc_id", est.alias("_n"))
+    docs = reassemble(parsed, salt_buckets=salt_buckets, salted=salted,
+                      salt_threshold=salt_threshold, doc_sizes=doc_sizes)
     if parse_images:
         from document_parser_spark.operators.enrich import (
             insert_ocr_after_images,

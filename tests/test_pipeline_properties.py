@@ -74,3 +74,14 @@ def test_determinism(spark, synth_df):
     from document_parser_spark.plans.pipeline import extract
 
     assert _collect(extract(synth_df)) == _collect(extract(synth_df))
+
+
+def test_adaptive_salting_equals_unsalted(spark, synth_df):
+    """Adaptive mode (two-phase only above the span-count threshold)
+    must produce identical output: exercise both tiers by setting the
+    threshold between the corpus' small and large docs."""
+    from document_parser_spark.plans.pipeline import extract
+    adaptive = _collect(extract(synth_df, salted=True, salt_buckets=5,
+                                salt_threshold=30))
+    unsalted = _collect(extract(synth_df, salted=False))
+    assert adaptive == unsalted
