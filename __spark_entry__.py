@@ -504,6 +504,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.length("markdown").cast("long").alias("md_len"))
     q["extract_pipeline"] = pipeline
 
+    def vlm_roundtrip(spark, sf):
+        """The VLM whole-doc PDF branch (pdf_parser_vlm.py contract:
+        verbatim text, page blocks joined by newline, page-break spans,
+        empty guard) on derived pdf_line spans — 8-word chunks, 3
+        chunks per page — with full markdown value-hash compare."""
+        _ensure_pkg(spark)
+        docs = _tbl(spark, sf, "documents")
+        spans = F.expr("""
+            transform(
+              sequence(0, int(ceil(size(split(text, ' ')) / 8.0)) - 1),
+              i -> named_struct(
+                'kind', 'pdf_line',
+                'text', concat(cast(i div 3 + 1 as string), ';0;',
+                               cast(100000 - i * 10 as string), ';5000;',
+                               cast(100010 - i * 10 as string), '|',
+                               concat_ws(' ',
+                                 slice(split(text, ' '), i * 8 + 1, 8))),
+                'media_ref', '', 'offset', cast(i as int)))
+        """)
+        span_docs = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            spans.alias("spans"),
+            F.lit("derived").alias("host"), F.lit("s").alias("size_bucket"))
+        out = extract(span_docs, pdf_vlm=True)
+        return out.select("doc_id", "status",
+                          F.size("spans").cast("long").alias("n_spans"),
+                          "markdown")
+    q["pdf_vlm_roundtrip"] = vlm_roundtrip
+
     def md_roundtrip(spark, sf):
         """The headline pipeline with a REAL oracle: restricted to the
         SQL-reconstructible doc family (text chunks + optional image —
@@ -856,6 +885,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_id": lang_best,
         "text_rolling_fingerprints": _rolling_fp_oracle(),
+        "pdf_vlm_roundtrip": """
+          WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
+                     FROM documents),
+          chunks AS (SELECT doc_id, i,
+                            array_to_string(arr[i*8+1 : i*8+8], ' ') AS ch
+                     FROM (SELECT doc_id, arr,
+                                  unnest(range((len(arr) + 7) // 8)) AS i
+                           FROM s)),
+          lines AS (SELECT doc_id, i, i // 3 AS pg, ch
+                    FROM chunks WHERE trim(ch) <> ''),
+          pages AS (SELECT doc_id, pg,
+                           string_agg(ch, chr(10) ORDER BY i) AS block
+                    FROM lines GROUP BY doc_id, pg),
+          agg AS (SELECT doc_id,
+                         (count(*) * 2 - 1)::bigint AS n_spans,
+                         string_agg(block,
+                                    chr(10) || '---' || chr(10) || chr(10)
+                                    || chr(10) || chr(10) ORDER BY pg)
+                         AS markdown
+                  FROM pages GROUP BY doc_id)
+          SELECT doc_id::varchar AS doc_id, 'ok' AS status, n_spans,
+                 markdown
+          FROM agg
+          UNION ALL
+          SELECT doc_id::varchar AS doc_id, 'empty' AS status,
+                 0::bigint AS n_spans, '' AS markdown
+          FROM s WHERE doc_id NOT IN (SELECT doc_id FROM agg)
+        """,
         "extract_markdown_roundtrip": _md_roundtrip_oracle(),
         "text_fingerprint": r"""
           SELECT doc_id,

@@ -58,8 +58,11 @@ def explode_spans(df: DataFrame, exclude_pdf: bool = True) -> DataFrame:
     )
 
 
-def parse_all_branches(df: DataFrame) -> DataFrame:
-    """Input docs -> union of per-kind parsed rows (PARSED_SCHEMA)."""
+def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
+    """Input docs -> union of per-kind parsed rows (PARSED_SCHEMA).
+    ``pdf_vlm`` selects the VLM whole-doc PDF parser instead of the
+    layout pipeline (the reference's alternative parser,
+    pdf_parser_vlm.py)."""
     clean_udf = make_clean_udf()
 
     exploded = explode_spans(df, exclude_pdf=True)
@@ -138,7 +141,11 @@ def parse_all_branches(df: DataFrame) -> DataFrame:
         .select("doc_id",
                 F.filter("spans", lambda s: s["kind"] == "pdf_line").alias("spans"))
     )
-    pdf_rows = pdf_branch(pdf_docs)
+    if pdf_vlm:
+        from document_parser_spark.operators.pdf_vlm import pdf_vlm_branch
+        pdf_rows = pdf_vlm_branch(pdf_docs)
+    else:
+        pdf_rows = pdf_branch(pdf_docs)
 
     # presence marker: exactly one per input doc, stripped during reassembly
     marker_rows = df.select(
@@ -167,6 +174,7 @@ def extract(
     parse_images: bool = False,
     translate: bool = False,
     detect_lang: bool = False,
+    pdf_vlm: bool = False,
 ) -> DataFrame:
     """Full pipeline: input span table -> DOCUMENTS_OUT_SCHEMA
     (doc_id, spans, markdown, status) + n_failures column for lineage.
@@ -177,7 +185,7 @@ def extract(
     = first-3-paragraph language column (A2). All three are narrow
     maps over the reassembled span array — zero extra shuffles.
     """
-    parsed = parse_all_branches(df)
+    parsed = parse_all_branches(df, pdf_vlm=pdf_vlm)
     # Adaptive-salting size estimate from the RAW input scan (cheap:
     # no UDF work), so the parsed relation is consumed exactly once.
     # Parsed size ~ input span count + parsed blocks from payload text

@@ -49,9 +49,12 @@ def parse_document(
     doc_id: str,
     spans: list[tuple[str, str, str, int]],
     image_mode: str = IMAGE_MODE_PLACEHOLDER,
+    pdf_vlm: bool = False,
 ) -> ParsedDoc:
     """spans: input (kind, text, media_ref, offset), any order; processed in
-    offset order."""
+    offset order. ``pdf_vlm=True`` routes pdf_line spans through the VLM
+    whole-doc parser contract instead of the layout pipeline (mirrors the
+    reference's parser selection, pdf_parser_vlm.py)."""
     ordered = sorted(spans, key=lambda s: s[3])
     # (anchor_offset, sub_index, kind, text, media_ref)
     keyed: list[tuple[int, int, str, str, str]] = []
@@ -93,7 +96,11 @@ def parse_document(
             failures += 1
 
     if pdf_payloads:
-        blocks, pdf_fail = parse_pdf_lines(pdf_payloads)
+        if pdf_vlm:
+            from document_parser_spark.refparser.pdf import parse_vlm_lines
+            blocks, pdf_fail = parse_vlm_lines(pdf_payloads)
+        else:
+            blocks, pdf_fail = parse_pdf_lines(pdf_payloads)
         failures += pdf_fail
         anchor = pdf_anchor if pdf_anchor is not None else 0
         for j, (k, t, m) in enumerate(blocks):

@@ -124,3 +124,37 @@ def parse_pdf_lines(payloads: list[str]) -> tuple[list[tuple[str, str, str]], in
                         kind, media_ref = "heading", "h2"
                 blocks_out.append((kind, text, media_ref))
     return blocks_out, failures
+
+
+def parse_vlm_lines(payloads: list[str]) -> tuple[list[tuple[str, str, str]],
+                                                  int]:
+    """The VLM full-page parser's contract (pdf_parser_vlm.py:100-135),
+    distinct from ``parse_pdf_lines`` in three ways that mirror the
+    reference exactly:
+
+    * NO per-item cleaning (the VLM parser has no clean_text/to_utf8
+      walk) — text passes through verbatim;
+    * ``raises_on_error=True``: ONE malformed line fails the whole
+      conversion -> ``([], 1)`` (a single parse-failure for the doc);
+    * pages become one markdown block each, lines joined by newline in
+      input order (the VLM defines reading order; the deterministic
+      stand-in uses identity order), page_break spans between emitted
+      pages; all-blank output hits the P4 empty guard (``([], 0)``).
+    """
+    by_page: dict[int, list[str]] = {}
+    for payload in payloads:
+        try:
+            page, _x0, _y0, _x1, _y1, text = parse_line(payload)
+        except PdfLineError:
+            return [], 1
+        by_page.setdefault(page, []).append(text)
+
+    blocks_out: list[tuple[str, str, str]] = []
+    for page in sorted(by_page):
+        block = "\n".join(t for t in by_page[page] if t.strip())
+        if not block:
+            continue
+        if blocks_out:
+            blocks_out.append(("page_break", "", ""))
+        blocks_out.append(("text", block, ""))
+    return blocks_out, 0

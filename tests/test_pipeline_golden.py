@@ -44,3 +44,34 @@ def test_markdown_equality(doc_id, pipeline_out, oracle_out):
 def test_status_and_failures(doc_id, pipeline_out, oracle_out):
     assert pipeline_out[doc_id]["status"] == oracle_out[doc_id].status
     assert pipeline_out[doc_id]["n_failures"] == oracle_out[doc_id].n_failures
+
+
+def test_vlm_branch_golden_parity(spark):
+    """pdf_vlm=True routes pdf docs through the whole-doc VLM contract:
+    Spark output must equal the refparser oracle with the same flag,
+    including the distinctive semantics (verbatim text, whole-doc
+    failure on one bad line, page blocks + page breaks, empty guard)."""
+    pdf_ids = {d for d, spans in fixture_docs()
+               if any(k == "pdf_line" for k, _, _, _ in spans)}
+    from document_parser_spark.plans.pipeline import extract
+    from document_parser_spark.sources.synth import fixtures_dataframe
+    got = {r["doc_id"]: r
+           for r in extract(fixtures_dataframe(spark),
+                            pdf_vlm=True).collect()
+           if r["doc_id"] in pdf_ids}
+    for doc_id, spans in fixture_docs():
+        if doc_id not in pdf_ids:
+            continue
+        want = parse_document(doc_id, spans, pdf_vlm=True)
+        r = got[doc_id]
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in r["spans"]] == want.spans, doc_id
+        assert r["markdown"] == want.markdown, doc_id
+        assert r["status"] == want.status, doc_id
+        assert r["n_failures"] == want.n_failures, doc_id
+    # the malformed-lines fixture must fail WHOLE-doc under VLM
+    assert got["pm-0002"]["status"] == "parse_failure"
+    assert len(got["pm-0002"]["spans"]) == 0
+    # multi-page fixture keeps page breaks
+    kinds = [s["kind"] for s in got["pm-0001"]["spans"]]
+    assert kinds.count("page_break") == 2
