@@ -72,15 +72,24 @@ def main() -> None:
     def force(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    # warm-up: JVM + Python workers + parquet footers (not timed)
-    force(qs["extract_pipeline"](spark, SF_DIR))
+    # Pass 1 (cold): JVM JIT + codegen + Python-worker launch dominate
+    # first executions (measured: first dedup_minhash_lsh 6.3s cold vs
+    # 1.4s warm). Pass 2 (warm) is the steady-state throughput a long
+    # job amortizes to — that is the headline; the cold total is
+    # reported alongside.
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(qs[name](spark, SF_DIR))
+        cold[name] = round(time.time() - t0, 3)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         force(qs[name](spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {times[name]}s", file=sys.stderr)
+        print(f"  {name}: {times[name]}s (cold {cold[name]}s)",
+              file=sys.stderr)
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     docs_per_sec = round(n_docs / max(times["extract_pipeline"], 1e-9), 1)
@@ -90,6 +99,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": parse_sf(SF_DIR),
         "extract_docs_per_sec": docs_per_sec,
         "n_docs": n_docs,

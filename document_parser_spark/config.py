@@ -134,6 +134,12 @@ DEFAULT_SALT_BUCKETS: int = 8
 # (adaptive salting — measured in tools/skew_bench.py: always-on
 # salting costs ~1.6x on ordinary size distributions).
 SALT_SPAN_THRESHOLD: int = 65536
+# size_bucket value flagging pathological documents at ingest (docs
+# above SALT_SPAN_THRESHOLD spans). extract() keys its salting
+# decision on this column when present — a dictionary-encoded string
+# scan instead of re-measuring every spans payload (the north rule's
+# "doc-size buckets", literally).
+GIANT_SIZE_BUCKET: str = "g"
 # Stable output-partition count for lineage/restart bucketing.
 DEFAULT_OUTPUT_PARTITIONS: int = 64
 SYNTH_SEED: int = 42

@@ -48,12 +48,13 @@ def _item() -> F.Column:
     )
 
 
-def _two_phase(parsed: DataFrame, salt_buckets: int) -> DataFrame:
+def _two_phase(parsed: DataFrame, salt_buckets: int,
+               salt_expr: F.Column | None = None) -> DataFrame:
+    salt = (salt_expr if salt_expr is not None
+            else F.pmod(F.hash("ord0", "ord1"), F.lit(salt_buckets)))
     part = (
         parsed
-        .groupBy("doc_id",
-                 F.pmod(F.hash("ord0", "ord1"), F.lit(salt_buckets))
-                 .alias("_salt"))
+        .groupBy("doc_id", salt.alias("_salt"))
         .agg(F.collect_list(_item()).alias("part"))
     )
     return part.groupBy("doc_id").agg(
@@ -68,38 +69,60 @@ def _single_phase(parsed: DataFrame) -> DataFrame:
 def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
                salted: bool = True,
                salt_threshold: int | None = None,
-               doc_sizes: DataFrame | None = None) -> DataFrame:
+               hot_docs: DataFrame | None = None) -> DataFrame:
     """PARSED_SCHEMA rows -> (doc_id, spans array<struct> in reading order
     with offsets renumbered 0..n-1, n_failures).
 
-    ``salt_threshold``: span count above which a doc takes the salted
-    two-phase path (None = every doc, the always-salt mode). In
-    adaptive mode the hot set comes from ``doc_sizes`` (doc_id, _n) if
-    given — ``extract`` passes a cheap estimate computed from the raw
-    input scan, so the expensive parsed relation is consumed exactly
-    once; without it, sizes are counted from ``parsed`` itself, which
-    re-evaluates that plan (fine when the caller's ``parsed`` is a
-    materialized table, wasteful when it is a UDF pipeline). Fail rows
-    (kind='__fail__') and per-doc presence markers (kind='__doc__',
-    emitted so that fully-filtered docs still surface with status
-    'empty') are tallied/stripped here.
+    ``salt_threshold``: span count above which a doc counts as HOT and
+    gets salted (None = every doc, the always-salt mode). Adaptive
+    mode is a driver-side plan choice (AQE-spirited): a tiny eager
+    probe — ``limit(1)`` over docs exceeding the threshold, so it
+    short-circuits on the first hot doc — decides between
+
+      * no hot docs: pure single-phase collect. ONE exchange; Spark's
+        map-side ``partial_collect_list`` already provides the
+        partial-combine role, so the explicit second phase would be a
+        pure extra exchange of all span data (measured,
+        tools/skew_bench.py).
+      * hot docs present: ONE plan tree where the phase-1 key is
+        ``CASE hot THEN pmod(hash(ord0, ord1), K) ELSE 0`` — hot docs
+        spread over K partial collects, cold docs ride along with a
+        constant salt. The parsed relation is consumed exactly once
+        (no hot/cold plan fork — a fork duplicates the upstream UDF
+        parse subtree).
+
+    The hot set comes from ``hot_docs`` (doc_id rows) if given —
+    ``extract`` passes the ingest-flagged giant bucket (or a raw-scan
+    estimate); without it, sizes are counted from ``parsed`` itself
+    (fine for a materialized relation, wasteful for a UDF pipeline).
+    NOTE the probe makes adaptive mode run one small job at
+    plan-build time.
+    Fail rows (kind='__fail__') and per-doc presence markers
+    (kind='__doc__', emitted so that fully-filtered docs still surface
+    with status 'empty') are tallied/stripped here.
     """
     if salted and salt_buckets > 1:
         if salt_threshold is None:
             docs = _two_phase(parsed, salt_buckets)
         else:
-            if doc_sizes is None:
-                doc_sizes = parsed.groupBy("doc_id") \
-                    .agg(F.count("*").alias("_n"))
-            hot_ids = (doc_sizes.filter(F.col("_n") > salt_threshold)
-                       .select("doc_id", F.lit(True).alias("_hot")))
-            tagged = parsed.join(F.broadcast(hot_ids), "doc_id", "left")
-            docs = _two_phase(
-                tagged.filter(F.col("_hot").isNotNull()).drop("_hot"),
-                salt_buckets,
-            ).unionByName(
-                _single_phase(tagged.filter(F.col("_hot").isNull())
-                              .drop("_hot")))
+            if hot_docs is None:
+                hot_docs = (parsed.groupBy("doc_id")
+                            .agg(F.count("*").alias("_n"))
+                            .filter(F.col("_n") > salt_threshold)
+                            .select("doc_id"))
+            hot_ids = hot_docs.select("doc_id",
+                                      F.lit(True).alias("_hot"))
+            if hot_ids.limit(1).count() == 0:
+                docs = _single_phase(parsed)
+            else:
+                tagged = parsed.join(F.broadcast(hot_ids), "doc_id",
+                                     "left")
+                case_salt = F.when(
+                    F.col("_hot").isNotNull(),
+                    F.pmod(F.hash("ord0", "ord1"), F.lit(salt_buckets))
+                ).otherwise(F.lit(0))
+                docs = _two_phase(tagged, salt_buckets,
+                                  salt_expr=case_salt)
     else:
         docs = _single_phase(parsed)
 

@@ -142,7 +142,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     teardown reclaim it."""
     sh = shingles(docs, n)
     if reuse_shingles:
+        # persist AND materialize eagerly: the consumers (both join
+        # sides, the size table) sit in INDEPENDENT stages that the
+        # scheduler launches concurrently at job start — with a lazy
+        # persist they all race the empty cache and each recomputes
+        # the explode+distinct. The eager count is one extra small job
+        # that makes every later stage a cache read.
         sh = sh.persist()
+        sh.count()
     if max_df is None:
         # shared-shingle self-join IS the intersection count: one
         # groupBy instead of candidate-distinct + verification re-join
@@ -233,7 +240,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = SHINGLE_N,
     verification. -> (ida, idb, jaccard)."""
     sh = shingles(docs, n)
     if reuse_shingles:
+        # eager materialization — see ngram_jaccard_pairs for why a
+        # lazy persist is recomputed by every concurrent consumer
         sh = sh.persist()
+        sh.count()
     band_sig = _band_signatures(
         _signatures_from_shingles(sh, hashers, fast_hash), hashers, bands)
     cand = (

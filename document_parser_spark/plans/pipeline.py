@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from document_parser_spark.config import (
     DEFAULT_SALT_BUCKETS,
+    GIANT_SIZE_BUCKET,
     IMAGE_MODE_PLACEHOLDER,
     INPUT_KINDS,
     SALT_SPAN_THRESHOLD,
@@ -186,24 +187,33 @@ def extract(
     maps over the reassembled span array — zero extra shuffles.
     """
     parsed = parse_all_branches(df, pdf_vlm=pdf_vlm)
-    # Adaptive-salting size estimate from the RAW input scan (cheap:
-    # no UDF work), so the parsed relation is consumed exactly once.
-    # Parsed size ~ input span count + parsed blocks from payload text
-    # (html expands one span into many blocks; ~200 bytes/block is a
-    # deliberate overestimate — the threshold is an OOM/straggler
-    # guard, so erring toward the two-phase path is the safe side).
-    doc_sizes = None
+    # Adaptive-salting hot set. Preferred source: the ingest-time
+    # size_bucket column (GIANT_SIZE_BUCKET flags docs above the span
+    # threshold) — a dictionary-encoded string scan, no spans payload
+    # re-measurement. Fallback (no size_bucket column): estimate from
+    # the raw spans — span count + payload bytes / 200 (html expands
+    # one span into many blocks; the overestimate errs toward the
+    # two-phase path, the safe side for an OOM/straggler guard).
+    hot_docs = None
     if salted and salt_threshold is not None:
-        est = (
-            F.size("spans")
-            + (F.aggregate(
-                "spans", F.lit(0),
-                lambda a, s: a + F.coalesce(F.length(s["text"]), F.lit(0)))
-               / F.lit(200)).cast("int")
-        )
-        doc_sizes = df.select("doc_id", est.alias("_n"))
+        if "size_bucket" in df.columns:
+            hot_docs = (df.filter(F.col("size_bucket")
+                                  == GIANT_SIZE_BUCKET)
+                        .select("doc_id"))
+        else:
+            est = (
+                F.size("spans")
+                + (F.aggregate(
+                    "spans", F.lit(0),
+                    lambda a, s: a + F.coalesce(F.length(s["text"]),
+                                                F.lit(0)))
+                   / F.lit(200)).cast("int")
+            )
+            hot_docs = (df.select("doc_id", est.alias("_n"))
+                        .filter(F.col("_n") > salt_threshold)
+                        .select("doc_id"))
     docs = reassemble(parsed, salt_buckets=salt_buckets, salted=salted,
-                      salt_threshold=salt_threshold, doc_sizes=doc_sizes)
+                      salt_threshold=salt_threshold, hot_docs=hot_docs)
     if parse_images:
         from document_parser_spark.operators.enrich import (
             insert_ocr_after_images,

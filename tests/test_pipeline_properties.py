@@ -77,11 +77,27 @@ def test_determinism(spark, synth_df):
 
 
 def test_adaptive_salting_equals_unsalted(spark, synth_df):
-    """Adaptive mode (two-phase only above the span-count threshold)
-    must produce identical output: exercise both tiers by setting the
-    threshold between the corpus' small and large docs."""
+    """Adaptive mode (CASE-salted two-phase engaged by the ingest
+    giant bucket) must produce identical output: flag a subset of
+    docs as giant so the hot path actually runs."""
+    from pyspark.sql import functions as F
+
+    from document_parser_spark.config import GIANT_SIZE_BUCKET
     from document_parser_spark.plans.pipeline import extract
-    adaptive = _collect(extract(synth_df, salted=True, salt_buckets=5,
+    tagged = synth_df.withColumn(
+        "size_bucket",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0,
+               F.lit(GIANT_SIZE_BUCKET)).otherwise(F.col("size_bucket")))
+    adaptive = _collect(extract(tagged, salted=True, salt_buckets=5,
                                 salt_threshold=30))
+    unsalted = _collect(extract(tagged, salted=False))
+    assert adaptive == unsalted
+
+
+def test_adaptive_salting_no_giants_single_phase(spark, synth_df):
+    """Without giant-bucket docs the probe must pick the single-phase
+    plan — output still identical."""
+    from document_parser_spark.plans.pipeline import extract
+    adaptive = _collect(extract(synth_df, salted=True))
     unsalted = _collect(extract(synth_df, salted=False))
     assert adaptive == unsalted
