@@ -409,8 +409,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "documents"))
     q["dedup_minhash_lsh"] = lambda spark, sf: dd.minhash_lsh_pairs(
         _tbl(spark, sf, "documents"))
-    q["dedup_simhash"] = lambda spark, sf: dd.simhash(
-        _tbl(spark, sf, "documents"))
+    def dedup_simhash(spark, sf):
+        """Production-shape SimHash (JVM md5 word hashes + numpy bit
+        fold — no 60x row fan-out); bit-identical to the explode
+        formulation `dd.simhash` (asserted in tests), so the same
+        DuckDB oracle verifies it."""
+        _ensure_pkg(spark)
+        return dd.simhash_fast(_tbl(spark, sf, "documents"),
+                               fast_hash=False)
+    q["dedup_simhash"] = dedup_simhash
     q["dedup_embedding_cosine"] = lambda spark, sf: dd.embedding_neardup_pairs(
         _tbl(spark, sf, "embeddings"))
 

@@ -20,6 +20,8 @@ refparser oracle; boilerplate thresholds in config.py.
 
 from __future__ import annotations
 
+import re
+from html import unescape as _unescape
 from html.parser import HTMLParser
 from typing import Iterator
 
@@ -288,6 +290,129 @@ class _FlatEmitter(HTMLParser):
         self._flush(final=True)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer (regex scan) with conservative bail-out to html.parser
+# ---------------------------------------------------------------------------
+#
+# html.parser's pure-Python state machine is ~65% of the HTML kernel
+# (cProfile: goahead/parse_starttag/parse_endtag). The emitter above only
+# consumes tag names, self-closing flags, ``src`` on <img>, and data runs —
+# so a compiled-regex scan can drive the SAME handler methods ~3x faster.
+# Parity strategy: the scan BUFFERS events and refuses whole documents on
+# any construct whose html.parser behavior it does not replicate exactly
+# (marked sections, quoted declarations, end-tag junk, tag-like text the
+# master regex failed to parse, irregular CDATA closes). Refusal routes the
+# document through html.parser itself, so the fast path can only ever be a
+# faster implementation of identical behavior — asserted by differential
+# tests over fixtures, synth corpus, and adversarial cases.
+
+_MASTER_RE = re.compile(r"""<(?:
+    (?P<end>/)(?P<etag>[a-zA-Z][-.a-zA-Z0-9:_]*)(?P<ejunk>[^<>]*)>
+  | (?P<tag>[a-zA-Z][-.a-zA-Z0-9:_]*)
+      (?P<attrs>(?:[^<>"']+|"[^"]*"|'[^']*')*)
+      >
+  | !--(?P<comment>.*?)-->
+  | (?P<decl>[!?][^<>]*)>
+)""", re.VERBOSE | re.DOTALL)
+# unterminated comments/declarations deliberately do NOT match: they fall
+# into a data segment, trip the suspicious-data check, and bail the doc
+# (html.parser flushes them as data at close() — parser-specific recovery).
+
+_SUSPICIOUS_DATA_RE = re.compile(r"<[a-zA-Z/!?]")
+_SRC_RE = re.compile(
+    r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+# CPython cdata close search (`</\s*script`, re.I) + the strict close form
+# we can replicate; any loose-but-not-strict close -> bail.
+_CDATA_TAGS = ("script", "style")
+_CDATA_LOOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE)
+                for t in _CDATA_TAGS}
+_CDATA_STRICT = {t: re.compile(rf"</{t}\s*>", re.IGNORECASE)
+                 for t in _CDATA_TAGS}
+
+
+def _scan_fast(doc: str) -> list | None:
+    """Tokenize ``doc`` into buffered events
+    [('s'|'se', tag, attrs) | ('e', tag) | ('d', text)], or None when any
+    construct requires the html.parser fallback."""
+    if "<![" in doc:
+        return None
+    events: list = []
+    pos, n = 0, len(doc)
+    while pos < n:
+        m = _MASTER_RE.search(doc, pos)
+        seg_end = m.start() if m else n
+        if seg_end > pos:
+            seg = doc[pos:seg_end]
+            if _SUSPICIOUS_DATA_RE.search(seg):
+                return None     # tag-like text the master regex rejected
+            # html.parser emits '<'-that-starts-no-construct as its own
+            # data event (text split at every raw '<') — replicate the
+            # exact chunking so even chunk-level consumers agree.
+            parts = seg.split("<")
+            for j, part in enumerate(parts):
+                if j > 0:
+                    events.append(("d", "<"))
+                if part:
+                    events.append(
+                        ("d", _unescape(part) if "&" in part else part))
+        if m is None:
+            break
+        pos = m.end()
+        if m.group("end"):
+            junk = m.group("ejunk")
+            if junk and (junk.strip() or "<" in junk):
+                return None     # end-tag with junk: parser-specific recovery
+            events.append(("e", m.group("etag").lower()))
+            continue
+        tag = m.group("tag")
+        if tag is not None:
+            tag = tag.lower()
+            selfclose = doc[m.end() - 2:m.end()] == "/>"
+            attrs: list = []
+            if tag == "img":
+                sm = _SRC_RE.search(m.group("attrs"))
+                if sm:
+                    val = next(g for g in sm.groups() if g is not None)
+                    attrs = [("src", _unescape(val) if "&" in val else val)]
+            events.append(("se" if selfclose else "s", tag, attrs))
+            if not selfclose and tag in _CDATA_LOOSE:
+                lm = _CDATA_LOOSE[tag].search(doc, pos)
+                if lm is None:
+                    if pos < n:
+                        events.append(("d", doc[pos:]))   # raw, no unescape
+                    pos = n
+                    continue
+                sm2 = _CDATA_STRICT[tag].match(doc, lm.start())
+                if sm2 is None:
+                    return None  # irregular cdata close: parser recovery
+                if lm.start() > pos:
+                    events.append(("d", doc[pos:lm.start()]))
+                events.append(("e", tag))
+                pos = sm2.end()
+            continue
+        if m.group("comment") is not None:
+            continue             # handle_comment is a no-op for the emitter
+        decl = m.group("decl")
+        if decl is not None:
+            if '"' in decl or "'" in decl:
+                return None     # quoted declarations scan past '>' in CPython
+            continue             # doctype/PI: no-op for the emitter
+    return events
+
+
+def _replay(em: _FlatEmitter, events: list) -> None:
+    for ev in events:
+        kind = ev[0]
+        if kind == "d":
+            em.handle_data(ev[1])
+        elif kind == "s":
+            em.handle_starttag(ev[1], ev[2])
+        elif kind == "e":
+            em.handle_endtag(ev[1])
+        else:
+            em.handle_startendtag(ev[1], ev[2])
+
+
 def _group_join(sort_cols: list[np.ndarray], texts: np.ndarray,
                 sep: str = "") -> tuple[list[np.ndarray], np.ndarray,
                                         np.ndarray]:
@@ -335,12 +460,22 @@ def parse_html_rows(htmls: pd.Series) -> pd.DataFrame:
     for i, html in enumerate(htmls):
         if html is None or html == "":
             continue
-        emitter.reset_doc(i)
         try:
-            emitter.feed(html)
-            emitter.close()
+            events = _scan_fast(html)
         except Exception:
-            pass  # keep whatever was emitted before the error
+            events = None
+        emitter.reset_doc(i)
+        if events is not None:
+            try:
+                _replay(emitter, events)
+            except Exception:
+                pass  # keep whatever was emitted before the error
+        else:
+            try:
+                emitter.feed(html)
+                emitter.close()
+            except Exception:
+                pass
         emitter.finish()
 
     frames: list[pd.DataFrame] = []

@@ -1,0 +1,127 @@
+"""Differential tests: the regex fast scanner must either refuse a
+document (bail to html.parser) or produce EXACTLY the event stream
+html.parser produces — verified by comparing final parsed block tables
+over the golden fixtures, the synth corpus, and adversarial strings."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from document_parser_spark.operators import html_parse as hp
+from document_parser_spark.sources.synth import fixture_docs, generate_doc
+
+
+def _via_htmlparser(htmls: list[str]) -> pd.DataFrame:
+    out = hp._new_out()
+    em = hp._FlatEmitter(out)
+    for i, h in enumerate(htmls):
+        if not h:
+            continue
+        em.reset_doc(i)
+        try:
+            em.feed(h)
+            em.close()
+        except Exception:
+            pass
+        em.finish()
+    return out
+
+
+def _via_fast(htmls: list[str]) -> tuple[dict, int]:
+    out = hp._new_out()
+    em = hp._FlatEmitter(out)
+    bailed = 0
+    for i, h in enumerate(htmls):
+        if not h:
+            continue
+        events = hp._scan_fast(h)
+        if events is None:
+            bailed += 1
+            em.reset_doc(i)
+            try:
+                em.feed(h)
+                em.close()
+            except Exception:
+                pass
+        else:
+            em.reset_doc(i)
+            hp._replay(em, events)
+        em.finish()
+    return out, bailed
+
+
+def _assert_same(htmls: list[str], max_bail: int | None = None) -> int:
+    want = _via_htmlparser(htmls)
+    got, bailed = _via_fast(htmls)
+    assert got == want
+    if max_bail is not None:
+        assert bailed <= max_bail
+    return bailed
+
+
+def test_fixture_corpus_identical():
+    htmls = [t for _, spans in fixture_docs()
+             for k, t, _, _ in spans if k == "html"]
+    assert htmls
+    _assert_same(htmls)
+
+
+def test_synth_corpus_identical_and_mostly_fast():
+    htmls = []
+    i = 0
+    while len(htmls) < 800:
+        _, spans, _, _ = generate_doc(i)
+        i += 1
+        htmls.extend(t for k, t, _, _ in spans if k == "html")
+    bailed = _assert_same(htmls, max_bail=0)
+    assert bailed == 0  # the synth family must take the fast path
+
+
+ADVERSARIAL = [
+    "a < b and c > d",
+    "<p>x &amp; y &lt;z&gt; &#65; &#x42; &notareal; &amp</p>",
+    "<p>unclosed <div attr",
+    "<P UPPER=1>Case</P>",
+    "<img src=pic.png><img src='q.png'><img src=\"d.png\">",
+    "<img src=\"a&amp;b.png\">",
+    "<img>no src</img>",
+    "<br/><br /><hr>",
+    "<div/>selfclosed</div>",
+    "<script>if (a<b) { x = '</div>'; }</script><p>after</p>",
+    "<script>no close at all",
+    "<script>x</scripty></script><p>t</p>",
+    "<style>p > a { color: red }</style><p>kept</p>",
+    "<!-- comment with <div> inside --><p>ok</p>",
+    "<!-- unclosed comment <p>gone",
+    "<!DOCTYPE html><p>doc</p>",
+    "<!DOCTYPE html PUBLIC \"-//W3C//DTD\" \"http://x\"><p>quoted</p>",
+    "<?php echo '<div>'; ?><p>pi</p>",
+    "<![CDATA[ <p>raw</p> ]]><p>after</p>",
+    "</ div><p>weird end</p>",
+    "</div junk=1><p>end junk</p>",
+    "</><p>empty end</p>",
+    "<3 hearts <p>tagless</p>",
+    "<a href=\"x'>broken quote</a><p>t</p>",
+    "<a href='y\">other quote</a>",
+    "<td>stray cell</td>",
+    "<table><tr><td>a<td>b<tr><td>c</table>",
+    "<ul><li>one<li>two</ul>",
+    "<p>nested <a href='/x'>link <b>bold</b></a> end</p>",
+    "<div><p>implicit close<div>again",
+    "<p>trailing amp &",
+    "<p>&#;</p>",
+    "é café <p>unicode Ж</p>",
+    "<p>a\nb\r\nc</p>",
+    "<pre>  keep\n  spacing &lt;x&gt;  </pre>",
+    "",
+]
+
+
+@pytest.mark.parametrize("idx", range(len(ADVERSARIAL)))
+def test_adversarial_identical(idx):
+    _assert_same([ADVERSARIAL[idx]])
+
+
+def test_adversarial_all_together():
+    _assert_same(ADVERSARIAL)
