@@ -57,9 +57,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     (SURVEY §2.2 P3/P4) generalized to corpus curation.
     """
     w = _words()
-    en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     n_tok = F.size(w).cast("long")
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(en, F.lower(x))))
+    # codegen'd regexp count over padded text (see lang_id for why this
+    # beats the interpreted filter/array_contains formulation)
+    n_stop = F.regexp_count(
+        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+        F.lit(" (" + "|".join(STOPWORDS["en"]) + ")(?= )"))
     mean_len = (F.length(F.regexp_replace("text", " ", "")).cast("double")
                 / F.greatest(n_tok, F.lit(1)).cast("double"))
     return docs.select(
@@ -77,14 +80,22 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram-free stopword-ratio language guess (deterministic
-    heuristic; per-language ratio, argmax with fixed tie order)."""
-    w = F.transform(_words(), F.lower)
+    heuristic; per-language ratio, argmax with fixed tie order).
+
+    Stopword occurrences are counted with ``regexp_count`` over the
+    space-padded lowercased text — one codegen'd pass per language —
+    instead of ``filter``+``array_contains`` over the split-word array
+    (array higher-order functions are interpreted, measured ~5x
+    slower). The leading-space-consumed / trailing-space-lookahead
+    pattern makes adjacent stopwords ("of the") both count, exactly
+    like word-list membership; token counts still come from split."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    n_words = F.size(_words())
 
     def ratio(stops: tuple[str, ...]) -> F.Column:
-        arr = F.array(*[F.lit(s) for s in stops])
-        return (F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
-                .cast("double")
-                / F.greatest(F.size(w), F.lit(1)).cast("double"))
+        pat = " (" + "|".join(stops) + ")(?= )"
+        return (F.regexp_count(padded, F.lit(pat)).cast("double")
+                / F.greatest(n_words, F.lit(1)).cast("double"))
 
     ratios = {lang: ratio(stops) for lang, stops in STOPWORDS.items()}
     # fixed evaluation order = deterministic argmax (strict > keeps the
