@@ -29,8 +29,10 @@ from document_parser_spark.config import (
     INVISIBLE_REPLACEMENT,
     REPLACEMENT_CHAR,
 )
+from document_parser_spark.ops import decontam as dc
 from document_parser_spark.ops import dedup as dd
 from document_parser_spark.ops import multimodal as mm
+from document_parser_spark.ops import sampling as smp
 from document_parser_spark.ops import similarity as sim
 from document_parser_spark.ops import textstats as ts
 from document_parser_spark.plans.pipeline import extract
@@ -421,6 +423,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = lambda spark, sf: dd.embedding_neardup_pairs(
         _tbl(spark, sf, "embeddings"))
 
+    # ---- sampling / decontamination -------------------------------------
+    def _kept_sig(kept):
+        return kept.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.md5(F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list("doc_id"))
+                .cast("array<string>"))).alias("ids_sig"))
+
+    def sample_hash(spark, sf):
+        """Deterministic hash sampling (pure function of doc_id+seed;
+        membership recomputed exactly by the oracle)."""
+        return _kept_sig(smp.hash_sample(
+            _tbl(spark, sf, "documents"), 0.25, seed="bench"))
+    q["sample_hash_deterministic"] = sample_hash
+
+    def sample_quota(spark, sf):
+        """Per-stratum quota (window by hash order, doc_id tiebreak)."""
+        d = _tbl(spark, sf, "documents").select("doc_id", "source")
+        return _kept_sig(smp.stratified_quota(d, "source", 10, seed="q"))
+    q["sample_stratified_quota"] = sample_quota
+
+    def sample_fracs(spark, sf):
+        """Per-stratum keep fractions (domain rebalancing)."""
+        return _kept_sig(smp.stratified_fractions(
+            _tbl(spark, sf, "documents"), "source",
+            {"src0": 1.0, "src1": 0.5}, default=0.1, seed="f"))
+    q["sample_stratified_fractions"] = sample_fracs
+
+    def decontam_hits(spark, sf):
+        """Benchmark decontamination: corpus docs sharing 4-gram word
+        shingles with the held-out tier (doc_id % 97 == 0)."""
+        d = _tbl(spark, sf, "documents")
+        bench = d.filter(F.pmod("doc_id", F.lit(97)) == 0)
+        corpus = d.filter(F.pmod("doc_id", F.lit(97)) != 0)
+        return dc.contamination_hits(corpus, bench, n=4)
+    q["decontam_ngram_hits"] = decontam_hits
+
     # ---- similarity search ----------------------------------------------
     def ann_threshold(spark, sf):
         e = _tbl(spark, sf, "embeddings")
@@ -539,6 +579,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.size("spans").cast("long").alias("n_spans"),
                           "markdown")
     q["pdf_vlm_roundtrip"] = vlm_roundtrip
+
+    def html_roundtrip(spark, sf):
+        """The html-family docs of the derived span table
+        (<body><h1>Doc N</h1><p>text</p></body>) through the REAL DOM
+        parse branch — for this constrained family the expected output
+        is SQL-expressible (one heading + one collapsed text block),
+        so the full markdown string is oracle-checked. Together with
+        extract_markdown_roundtrip this gives every family of the
+        headline pipeline an oracle."""
+        _ensure_pkg(spark)
+        docs = _tbl(spark, sf, "documents") \
+            .filter(F.pmod("doc_id", F.lit(5)) == 0)
+        out = extract(_span_docs(docs))
+        return out.select("doc_id", "status",
+                          F.size("spans").cast("long").alias("n_spans"),
+                          "markdown")
+    q["extract_html_roundtrip"] = html_roundtrip
 
     def md_roundtrip(spark, sf):
         """The headline pipeline with a REAL oracle: restricted to the
@@ -892,6 +949,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_id": lang_best,
         "text_rolling_fingerprints": _rolling_fp_oracle(),
+        "extract_html_roundtrip": f"""
+          WITH h AS (SELECT doc_id,
+                            trim(regexp_replace(
+                              replace({_invis_chain_sql("text")},
+                                      chr(65533), '.'),
+                              '\\s+', ' ', 'g')) AS body
+                     FROM documents WHERE doc_id % 5 = 0)
+          SELECT doc_id::varchar AS doc_id, 'ok' AS status,
+                 ((CASE WHEN body <> '' THEN 2 ELSE 1 END)
+                  + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END))::bigint
+                 AS n_spans,
+                 '# Doc ' || doc_id::varchar
+                 || CASE WHEN body <> ''
+                         THEN chr(10) || chr(10) || body ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN chr(10) || chr(10) || '<!-- image -->'
+                         ELSE '' END
+                 AS markdown
+          FROM h
+        """,
         "pdf_vlm_roundtrip": """
           WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
                      FROM documents),
@@ -989,6 +1066,59 @@ def oracle_sql() -> dict[str, str]:
           SELECT ({bucket_expr})::bigint AS bucket,
                  count(*)::bigint AS n_vecs
           FROM embeddings GROUP BY 1
+        """,
+        "sample_hash_deterministic": f"""
+          SELECT source, count(*)::bigint AS n_kept,
+                 md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id))
+                 AS ids_sig
+          FROM documents
+          WHERE ('0x' || substr(md5('bench' || doc_id::varchar),
+                                1, 15))::bigint % {smp.SAMPLE_MOD}
+                < {int(0.25 * smp.SAMPLE_MOD)}
+          GROUP BY source
+        """,
+        "sample_stratified_quota": f"""
+          WITH k AS (SELECT doc_id, source,
+                            ('0x' || substr(md5('q' || doc_id::varchar),
+                                            1, 15))::bigint
+                            % {smp.SAMPLE_MOD} AS hk
+                     FROM documents),
+          r AS (SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY hk, doc_id) AS rn
+                FROM k)
+          SELECT source, count(*)::bigint AS n_kept,
+                 md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id))
+                 AS ids_sig
+          FROM r WHERE rn <= 10 GROUP BY source
+        """,
+        "sample_stratified_fractions": f"""
+          SELECT source, count(*)::bigint AS n_kept,
+                 md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id))
+                 AS ids_sig
+          FROM documents
+          WHERE ('0x' || substr(md5('f' || doc_id::varchar),
+                                1, 15))::bigint % {smp.SAMPLE_MOD}
+                < (CASE source WHEN 'src0' THEN {smp.SAMPLE_MOD}
+                        WHEN 'src1' THEN {smp.SAMPLE_MOD // 2}
+                        ELSE {smp.SAMPLE_MOD // 10} END)
+          GROUP BY source
+        """,
+        "decontam_ngram_hits": """
+          WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+                     FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                        arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
+                        || ' ' || arr[i+4] AS sh
+                 FROM (SELECT doc_id, arr,
+                              unnest(range(greatest(len(arr) - 3, 0)))
+                              AS i
+                       FROM d)),
+          bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+          corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+          SELECT doc_id, count(*)::bigint AS n_hits
+          FROM corpus JOIN bench USING (sh)
+          GROUP BY doc_id
         """,
         "multimodal_decode_stub": """
           WITH m AS (SELECT doc_id, sha256(text) AS hx

@@ -1,0 +1,98 @@
+"""Sampling + decontamination operator tests: determinism, quota
+bounds, per-stratum fractions, planted-overlap flagging."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_parser_spark.ops import decontam as dc
+from document_parser_spark.ops import sampling as smp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_hash_sample_deterministic_and_close(docs):
+    a = sorted(r.doc_id for r in smp.hash_sample(docs, 0.3).collect())
+    b = sorted(r.doc_id for r in smp.hash_sample(docs, 0.3).collect())
+    assert a == b                      # pure function of (doc_id, seed)
+    assert 0.2 < len(a) / 400 < 0.4    # close to the target fraction
+    c = sorted(r.doc_id for r in
+               smp.hash_sample(docs, 0.3, seed="other").collect())
+    assert a != c                      # seed changes the draw
+
+
+def test_hash_sample_nested(docs):
+    """A smaller sample with the same seed is a subset of a larger one
+    (threshold semantics — lets pipelines grow a sample in place)."""
+    small = {r.doc_id for r in smp.hash_sample(docs, 0.1).collect()}
+    big = {r.doc_id for r in smp.hash_sample(docs, 0.5).collect()}
+    assert small <= big
+
+
+def test_stratified_quota_bounds_and_determinism(docs):
+    kept = smp.stratified_quota(docs, "source", 25).collect()
+    per = {}
+    for r in kept:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert set(per) == {"src0", "src1", "src2", "src3"}
+    assert all(len(v) == 25 for v in per.values())
+    again = smp.stratified_quota(docs, "source", 25).collect()
+    assert sorted((r.source, r.doc_id) for r in kept) == \
+        sorted((r.source, r.doc_id) for r in again)
+
+
+def test_stratified_quota_prefilter_agrees(docs):
+    exact = sorted((r.source, r.doc_id) for r in
+                   smp.stratified_quota(docs, "source", 10).collect())
+    approx = sorted((r.source, r.doc_id) for r in
+                    smp.stratified_quota(docs, "source", 10,
+                                         prefilter_factor=6.0).collect())
+    assert exact == approx
+
+
+def test_stratified_fractions(docs):
+    kept = smp.stratified_fractions(
+        docs, "source", {"src0": 1.0, "src1": 0.5}, default=0.0).collect()
+    per = {}
+    for r in kept:
+        per.setdefault(r.source, 0)
+        per[r.source] += 1
+    assert per.get("src0") == 100          # fraction 1.0 keeps all
+    assert 30 <= per.get("src1", 0) <= 70  # ~half
+    assert "src2" not in per               # default 0.0 drops
+
+
+BENCH_TEXT = ("the quick brown fox jumps over the lazy dog while "
+              "numbers keep flowing through the benchmark passage")
+
+
+@pytest.fixture(scope="module")
+def contam(spark):
+    corpus = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps over the "
+             "lazy dog verbatim inside a longer document body"),
+         (2, "completely unrelated content about markdown span "
+             "reassembly and ordered aggregation phases here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, BENCH_TEXT)],
+                                  "doc_id long, text string")
+    return corpus, bench
+
+
+def test_contamination_hits_flags_overlap(contam):
+    corpus, bench = contam
+    hits = {r.doc_id: r.n_hits
+            for r in dc.contamination_hits(corpus, bench).collect()}
+    assert 1 in hits and hits[1] >= 1   # shares 5-grams with benchmark
+    assert 2 not in hits                # clean doc absent
+
+
+def test_decontaminate_removes_flagged(contam):
+    corpus, bench = contam
+    left = {r.doc_id for r in dc.decontaminate(corpus, bench).collect()}
+    assert left == {2}

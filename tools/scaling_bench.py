@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 INPUT_DIR = "/tmp/scaling_input"
 RESULTS = "/tmp/scaling_results"
+EXTRA_MARK = "<!-- round-notes: preserved across scaling_bench rewrites -->"
 
 
 def _session(master: str, cores: int):
@@ -152,8 +153,18 @@ Command lines:
     python tools/scaling_bench.py run "local[32]" {INPUT_DIR} /tmp/scaling_out_local_32
 """
     os.makedirs("BENCH", exist_ok=True)
+    # preserve manually-appended sections (skew benches, protocol
+    # notes) across rewrites: everything at/after the marker survives
+    extra = ""
+    try:
+        with open("BENCH/BASELINE.md") as fh:
+            old = fh.read()
+        if EXTRA_MARK in old:
+            extra = old[old.index(EXTRA_MARK):]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as fh:
-        fh.write(md)
+        fh.write(md + ("\n" + extra if extra else ""))
     print(md)
 
 
