@@ -76,10 +76,22 @@ def _kmeans_centroids(emb: DataFrame, n_centroids: int,
                       iters: int = 3) -> list[list[float]]:
     """Deterministic Lloyd's on a seeded driver-side sample. The
     sample is small (n_centroids * 50 rows max) — only centroids ever
-    reach the driver, never the table."""
-    sample = (emb.select("vec_id", "embedding")
-              .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(9973)), "vec_id")
-              .limit(n_centroids * 50).collect())
+    reach the driver, never the table. The hash-range FILTER prunes at
+    the scan (a pushable predicate) instead of hashing + ordering every
+    row the way an orderBy(hash).limit sample would; the residual
+    orderBy runs on the pre-pruned ~2x-target subset only."""
+    target = n_centroids * 50
+    hk = F.pmod(F.xxhash64("vec_id"), F.lit(9973))
+    sample_df = (emb.select("vec_id", "embedding", hk.alias("_hk"))
+                 .filter(F.col("_hk") < F.lit(9973)))
+    # adaptive range: widen until the target is met (tiny tables keep
+    # everything; big tables scan-prune to ~2x the target)
+    n_total = emb.select(F.count("*")).first()[0]
+    if n_total > target:
+        cut = max(1, int(9973 * min(1.0, 2.0 * target / n_total)))
+        sample_df = sample_df.filter(F.col("_hk") < cut)
+    sample = (sample_df.orderBy("_hk", "vec_id").limit(target)
+              .drop("_hk").collect())
     X = np.array([r.embedding for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_centroids].copy()

@@ -67,6 +67,74 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def stream_dedup_first_seen(spark: SparkSession, input_dir: str,
+                            output_dir: str, checkpoint_dir: str,
+                            available_now: bool = True,
+                            max_files_per_trigger: int | None = None
+                            ) -> StreamingQuery:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    cross-micro-batch exact dedup. Keyed by the content fingerprint,
+    per-key state remembers whether the key was ever seen and how many
+    copies arrived; only the FIRST occurrence (min doc_id within its
+    batch) is emitted, duplicates in later batches update the state and
+    emit nothing. This is the streaming form of
+    ``ops.dedup.exact_duplicates`` — built-in ``dropDuplicates`` can't
+    express the tallying, and ``session_window`` can't express
+    keep-first-forever, which is why this one is a custom state fn.
+
+    State size = one (long, string) per distinct fingerprint — the
+    canonical keyed-state layout RocksDB state stores are built for;
+    the fingerprint key also makes state sharding uniform (md5 output
+    is unskewed by construction).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    reader = (spark.readStream
+              .schema("doc_id string, text string")
+              .format("parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                        r"\s+", " ")))
+    keyed = stream.select(F.col("doc_id"), fp.alias("fp"))
+
+    def first_seen(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        n_new = len(rows)
+        if state.exists:
+            (n_prev,) = state.get
+            state.update((n_prev + n_new,))
+            return iter(())          # duplicate key: emit nothing
+        state.update((n_new,))
+        keep = rows["doc_id"].min()  # deterministic within the batch
+        return iter([pd.DataFrame({"fp": [key[0]], "keep_id": [keep],
+                                   "n_copies_first_batch": [n_new]})])
+
+    deduped = keyed.groupBy("fp").applyInPandasWithState(
+        first_seen,
+        outputStructType="fp string, keep_id string, "
+                         "n_copies_first_batch bigint",
+        stateStructType="n_seen bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    writer = (deduped.writeStream
+              .outputMode("append")
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Event-time session windows with a watermark — the streaming
     form of the W3 lag-boundary query (works on a static frame too:

@@ -101,3 +101,37 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == n1                          # no duplicates
     assert out.filter(F.col("epoch_id") == 0).count() == epoch0
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState keep-first dedup: a duplicate arriving in
+    a LATER micro-batch must be suppressed by keyed state (and a
+    restart with the same checkpoint must not re-emit anything)."""
+    from document_parser_spark.streaming.stream import (
+        stream_dedup_first_seen,
+    )
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [("a1", "alpha content"), ("b1", "beta content"),
+              ("a2", "alpha content")]          # in-batch duplicate
+    batch2 = [("a3", "ALPHA   content "),        # cross-batch duplicate
+              ("c1", "gamma content")]
+    spark.createDataFrame(batch1, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(batch2, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_dedup_first_seen(spark, in_dir, out_dir, ckpt,
+                                max_files_per_trigger=1)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir).collect()
+    by_keep = {r.keep_id: r for r in out}
+    assert set(by_keep) == {"a1", "b1", "c1"}   # one row per content
+    assert by_keep["a1"].n_copies_first_batch == 2  # a1+a2 same batch
+    assert by_keep["c1"].n_copies_first_batch == 1
+
+    # drain again with the same checkpoint: nothing new
+    q2 = stream_dedup_first_seen(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 3
