@@ -125,3 +125,36 @@ def test_adversarial_identical(idx):
 
 def test_adversarial_all_together():
     _assert_same(ADVERSARIAL)
+
+
+# ---- property-based fuzz: random tag soup must never diverge ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FRAGMENTS = st.sampled_from([
+    "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<br>",
+    "<br/>", "<img src=i.png>", "<ul>", "<li>", "</ul>", "<table>", "<tr>",
+    "<td>", "</table>", "<pre>", "</pre>", "<script>", "</script>",
+    "<h2>", "</h2>", "text ", "words here ", "&amp;", "&lt;", "&#65;",
+    "&bogus;", "&", "<", ">", "</", "<!", "<!--", "-->", "<!-- c -->",
+    "<!DOCTYPE html>", "\"", "'", "/", "=", " ", "\n", "é", "<x y=1>",
+    "</wrong>", "<UPPER>", "<3", "<table><td>c</td></table>",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FRAGMENTS, min_size=0, max_size=30))
+def test_fuzz_tag_soup_identical(frags):
+    doc = "".join(frags)
+    want = _via_htmlparser([doc])
+    got, _ = _via_fast([doc])
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="<>&/!?-=\"' \nabcp1;#x", max_size=60))
+def test_fuzz_raw_chars_identical(doc):
+    want = _via_htmlparser([doc])
+    got, _ = _via_fast([doc])
+    assert got == want
