@@ -105,6 +105,49 @@ def _kmeans_centroids(emb: DataFrame, n_centroids: int,
     return [[float(x) for x in row] for row in C]
 
 
+def kmeans_fit_distributed(emb: DataFrame, n_centroids: int,
+                           iters: int = 3) -> list[list[float]]:
+    """Fully distributed Lloyd's: assignment is the Arrow-vectorized
+    ``ivf_assign`` over the WHOLE table, and the centroid update is a
+    posexplode + groupBy(list, dim) mean whose shuffle carries only
+    (list, dim, partial-sum) triples (map-side combined); exactly
+    k*dim aggregated rows reach the driver per iteration. This is the
+    10^12-vector index-build path — nothing driver-side scales with
+    the table, unlike the sampled ``_kmeans_centroids`` tier (which
+    remains the cheap small-corpus default).
+
+    Init: deterministic hash-ordered first-k rows (scan work only).
+    Empty clusters keep their previous centroid (same rule as the
+    sampled tier)."""
+    first = (emb.select("embedding",
+                        F.pmod(F.xxhash64("vec_id"), F.lit(9973))
+                        .alias("_hk"), "vec_id")
+             .orderBy("_hk", "vec_id").limit(n_centroids).collect())
+    C = np.array([r.embedding for r in first], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, [[float(x) for x in row] for row in C])
+        sums = (assigned
+                .select("ivf_list",
+                        F.posexplode("embedding").alias("dim", "v"))
+                .groupBy("ivf_list", "dim")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect())
+        newC = C.copy()
+        counts = {}
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r.ivf_list, np.zeros(C.shape[1]))[r.dim] = r.s
+            counts[r.ivf_list] = r.n
+        for li, vec in acc.items():
+            v = vec / max(counts[li], 1)
+            norm = np.linalg.norm(v)
+            if norm > 1e-12:
+                newC[li] = v / norm
+        C = newC
+    return [[float(x) for x in row] for row in C]
+
+
 def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF list id).
 
@@ -132,10 +175,16 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def ivf_search(emb: DataFrame, query: list[float], k: int = 10,
-               n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+               n_centroids: int = 16, n_probe: int = 4,
+               distributed_fit: bool = False) -> DataFrame:
     """IVF probe: nearest ``n_probe`` centroids to the query, exact
-    cosine within those lists only."""
-    centroids = _kmeans_centroids(emb, n_centroids)
+    cosine within those lists only. ``distributed_fit=True`` builds
+    centroids with the fully distributed k-means (the at-scale path);
+    the default samples to the driver (cheap for small corpora)."""
+    if distributed_fit:
+        centroids = kmeans_fit_distributed(emb, n_centroids)
+    else:
+        centroids = _kmeans_centroids(emb, n_centroids)
     q = np.array(query, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
     C = np.array(centroids)

@@ -59,3 +59,23 @@ def test_ivf_recall(emb, query):
 def test_bucket_histogram_total(emb):
     hist = sim.bucket_histogram(emb).agg(F.sum("n_vecs")).head()[0]
     assert hist == emb.count()
+
+
+def test_ivf_distributed_fit_recall(emb, query):
+    """The fully distributed k-means tier must reach the same recall
+    bar as the sampled tier (no driver-side table data involved)."""
+    exact = {r.vec_id for r in
+             sim.cosine_to_query(emb, query, k=5).collect()}
+    ivf = {r.vec_id for r in sim.ivf_search(emb, query, k=5,
+                                            distributed_fit=True).collect()}
+    assert 0 in ivf and 999 in ivf
+    assert len(ivf & exact) >= 3
+
+
+def test_distributed_centroids_unit_norm(emb):
+    C = sim.kmeans_fit_distributed(emb, n_centroids=4, iters=2)
+    import numpy as np
+    arr = np.array(C)
+    assert arr.shape[0] == 4
+    norms = np.linalg.norm(arr, axis=1)
+    assert np.allclose(norms[norms > 1e-9], 1.0, atol=1e-6)
