@@ -423,6 +423,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = lambda spark, sf: dd.embedding_neardup_pairs(
         _tbl(spark, sf, "embeddings"))
 
+    def dedup_clusters(spark, sf):
+        """Pairs -> clusters: min-label connected components over the
+        n-gram near-dup pair graph (the survivor-selection step real
+        dedup needs beyond pair emission); oracle = recursive-CTE
+        reachability closure."""
+        pairs = dd.ngram_jaccard_pairs(_tbl(spark, sf, "documents"))
+        return dd.connected_components(pairs)
+    q["dedup_cluster_components"] = dedup_clusters
+
     # ---- sampling / decontamination -------------------------------------
     def _kept_sig(kept):
         return kept.groupBy("source").agg(
@@ -1023,6 +1032,32 @@ def oracle_sql() -> dict[str, str]:
           {jaccard_tail}
         """,
         "dedup_minhash_lsh": _minhash_oracle(jaccard_tail),
+        "dedup_cluster_components": f"""
+          WITH RECURSIVE {_SH_CTE},
+          cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                   FROM sh a JOIN sh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          inter AS (SELECT c.ida, c.idb, count(*)::bigint AS i
+                    FROM cand c
+                    JOIN sh x ON x.doc_id = c.ida
+                    JOIN sh y ON y.doc_id = c.idb AND y.sh = x.sh
+                    GROUP BY 1, 2),
+          nn AS (SELECT doc_id, count(*)::bigint AS n FROM sh GROUP BY 1),
+          pairs AS (SELECT i2.ida, i2.idb
+                    FROM inter i2
+                    JOIN nn na ON i2.ida = na.doc_id
+                    JOIN nn nb ON i2.idb = nb.doc_id
+                    WHERE round(i2.i * 1.0 / (na.n + nb.n - i2.i), 3)
+                          >= {dd.JACCARD_THRESHOLD}),
+          e AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+          reach AS (SELECT src, dst FROM e
+                    UNION
+                    SELECT r.src, e2.dst
+                    FROM reach r JOIN e e2 ON r.dst = e2.src)
+          SELECT src AS doc_id, least(src, min(dst)) AS rep
+          FROM reach GROUP BY src
+        """,
         "dedup_simhash": f"""
           WITH {_E_CTE},
           wh AS (SELECT doc_id, {h60.format(s="w")} AS h,

@@ -362,6 +362,61 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Near-dup pairs (ida, idb) -> (doc_id, rep): every node labeled
+    with the MIN doc id reachable through the pair graph (the cluster
+    representative — the same survivor rule ``exact_duplicates`` uses).
+
+    Min-label propagation: each round joins current labels across the
+    (symmetrized) edge list and keeps the elementwise min; converges in
+    O(graph diameter) rounds — near-dup clusters are shallow, so the
+    driver loop runs a handful of small-shuffle jobs. Each round's
+    result is persisted and the previous round unpersisted, so the plan
+    and cache footprint stay O(1) in rounds; convergence is detected by
+    counting changed labels (one cheap action per round). At extreme
+    scale swap the loop body for large-star/small-star — the operator
+    contract (pairs in, labels out) is unchanged.
+    """
+    edges = (pairs.select(F.col("ida").alias("src"),
+                          F.col("idb").alias("dst"))
+             .unionByName(pairs.select(F.col("idb").alias("src"),
+                                       F.col("ida").alias("dst"))))
+    # materialize the edge list ONCE — the loop joins it every round,
+    # and `pairs` is typically an expensive candidate pipeline
+    edges = edges.persist()
+    edges.count()
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("rep", F.col("doc_id"))).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (edges.join(labels.withColumnRenamed("doc_id", "dst")
+                            .withColumnRenamed("rep", "nrep"), "dst")
+                 .groupBy("src").agg(F.min("nrep").alias("min_nrep"))
+                 .withColumnRenamed("src", "doc_id"))
+        new_labels = (labels.join(neigh, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("rep", F.coalesce("min_nrep",
+                                                        F.col("rep")))
+                              .alias("rep"))).persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.rep") != F.col("o.rep")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()   # labels is persisted + materialized already
+    return labels
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Corpus minus non-representative members of near-dup clusters
+    (keep the min-id doc of every cluster plus all unpaired docs)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def _cosine(a, b) -> F.Column:
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")

@@ -125,3 +125,28 @@ def test_embedding_neardup_prefilter_subset(spark):
     # a 0.95-cosine pair flips a sign bit with low prob; planted pair
     # must survive the 8-bit prefilter here (deterministic seed)
     assert (100, 101) in pre
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (pairwise links only between neighbors) must
+    collapse to one cluster labeled by its min id; a separate pair and
+    an isolated pair keep their own reps."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5),      # chain 2-3-4-5
+         (10, 11),                    # island pair
+         (20, 21), (21, 20)],         # duplicate/symmetric input edges
+        "ida long, idb long")
+    comp = {r.doc_id: r.rep
+            for r in dd.connected_components(pairs).collect()}
+    assert comp == {2: 2, 3: 2, 4: 2, 5: 2,
+                    10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_survivors_keeps_min_and_unpaired(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.25)
+    left = {r.doc_id for r in dd.dedup_survivors(docs, pairs).collect()}
+    # docs 1,2,3 cluster (near-dups) -> keep 1; 4,5,6 untouched...
+    # except 6 is an exact dup of 1 after normalization but NOT an
+    # ngram near-dup (uppercase shingles differ), so it survives here
+    assert 1 in left and 2 not in left and 3 not in left
+    assert {4, 5, 6} <= left
