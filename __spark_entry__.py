@@ -104,13 +104,19 @@ s AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 e AS (SELECT doc_id, unnest(arr) AS w,
              unnest(range(len(arr))) AS pos FROM s)
 """
+# Spark-side dedup joins key on the 60-bit md5 hash of each shingle
+# (hashed_shingles) — the oracle computes the SAME hash, so the
+# compare stays exact even under (negligible) collisions. DISTINCT is
+# taken on the STRING first, matching array_distinct-then-hash.
 _SH_CTE = """
-sh AS (SELECT DISTINCT doc_id,
-              arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS sh
-       FROM (SELECT doc_id, arr,
-                    unnest(range(greatest(len(arr) - 2, 0))) AS i
-             FROM (SELECT doc_id, string_split(text, ' ') AS arr
-                   FROM documents)))
+sh AS (SELECT doc_id,
+              ('0x' || substr(md5(shs), 1, 15))::bigint AS sh
+       FROM (SELECT DISTINCT doc_id,
+                    arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS shs
+             FROM (SELECT doc_id, arr,
+                          unnest(range(greatest(len(arr) - 2, 0))) AS i
+                   FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                         FROM documents))))
 """
 
 
@@ -750,10 +756,7 @@ def _minhash_oracle(jaccard_tail: str) -> str:
         for b in range(dd.MINHASH_BANDS))
     return f"""
           WITH {_SH_CTE},
-          hv AS (SELECT doc_id,
-                        (('0x' || substr(md5(sh), 1, 15))::bigint) % {p}
-                        AS hv
-                 FROM sh),
+          hv AS (SELECT doc_id, sh % {p} AS hv FROM sh),
           mh AS (SELECT doc_id,
                  {mins}
                  FROM hv GROUP BY doc_id),

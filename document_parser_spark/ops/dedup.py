@@ -89,9 +89,22 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
             .otherwise(F.array().cast("array<string>")))).alias("sh"))
 
 
+def hashed_shingles(sh: DataFrame, fast_hash: bool = False) -> DataFrame:
+    """(doc_id, sh:string) -> (doc_id, sh:long): every downstream
+    join/groupBy keys on the portable 60-bit hash instead of the
+    ~20-40-byte shingle string — the shuffles carry 8-byte longs and
+    compare longs. The DuckDB oracles compute the SAME hash, so any
+    hash collision is identical on both sides and the value compare
+    stays exact (and at 60 bits collisions are negligible anyway)."""
+    return sh.select("doc_id", hash_col(F.col("sh"), fast=fast_hash)
+                     .alias("sh"))
+
+
 def _jaccard_from_candidates(sh: DataFrame, cand: DataFrame,
                              threshold: float) -> DataFrame:
     """cand(ida, idb) -> (ida, idb, jaccard) verified >= threshold.
+    ``sh`` may carry string shingles or their 60-bit hashes — the
+    counting is key-agnostic.
 
     Verification expands only the candidate pairs (cand ⋈ sh ⋈ sh) —
     cheaper than a full shingle self-join whenever the candidate set
@@ -140,7 +153,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     ``spark.catalog.clearCache()`` after materializing the result;
     one-shot jobs (the normal case) let executor eviction / session
     teardown reclaim it."""
-    sh = shingles(docs, n)
+    # hash the shingles BEFORE persisting: joins shuffle 8-byte longs
+    # (oracle computes the identical hash — compare stays exact)
+    sh = hashed_shingles(shingles(docs, n))
     if reuse_shingles:
         # persist AND materialize eagerly: the consumers (both join
         # sides, the size table) sit in INDEPENDENT stages that the
@@ -195,20 +210,20 @@ def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N,
     one 60-bit hash per shingle, then ``hashers`` affine maps mod p
     folded into one groupBy with ``hashers`` min() aggregates. No row
     fan-out, no Python, whole-stage codegen end to end."""
-    return _signatures_from_shingles(shingles(docs, n), hashers, fast_hash)
+    return _signatures_from_hashed(
+        hashed_shingles(shingles(docs, n), fast_hash), hashers)
 
 
-def _signatures_from_shingles(sh: DataFrame, hashers: int,
-                              fast_hash: bool) -> DataFrame:
-    hv = F.pmod(hash_col(F.col("sh"), fast=fast_hash),
-                F.lit(MINHASH_PRIME))
+def _signatures_from_hashed(shh: DataFrame, hashers: int) -> DataFrame:
+    """``shh`` carries pre-hashed shingles (hashed_shingles output)."""
+    hv = F.pmod(F.col("sh"), F.lit(MINHASH_PRIME))
     params = minhash_params(hashers)
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("hv") + F.lit(b),
                      F.lit(MINHASH_PRIME))).alias(f"m{k}")
         for k, (a, b) in enumerate(params)
     ]
-    return sh.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(*aggs)
+    return shh.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(*aggs)
 
 
 def _band_signatures(sig: DataFrame, hashers: int,
@@ -238,14 +253,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = SHINGLE_N,
                       reuse_shingles: bool = True) -> DataFrame:
     """MinHash signatures -> banded LSH candidates -> exact-Jaccard
     verification. -> (ida, idb, jaccard)."""
-    sh = shingles(docs, n)
+    sh = hashed_shingles(shingles(docs, n), fast_hash)
     if reuse_shingles:
         # eager materialization — see ngram_jaccard_pairs for why a
         # lazy persist is recomputed by every concurrent consumer
         sh = sh.persist()
         sh.count()
     band_sig = _band_signatures(
-        _signatures_from_shingles(sh, hashers, fast_hash), hashers, bands)
+        _signatures_from_hashed(sh, hashers), hashers, bands)
     cand = (
         band_sig.alias("a")
         .join(band_sig.alias("b"), ["band", "sig"])
