@@ -294,6 +294,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["a4_failure_tally"] = a4_failures
 
+    def a3_progress(spark, sf):
+        """A3: the reference's throttled progress emission
+        (translator/v2/service.py:235-244) — update every
+        max(1, total//20) items plus the final item, progress =
+        15 + 78*(n/total) — computed per source batch."""
+        t = (_tbl(spark, sf, "documents").groupBy("source")
+             .agg(F.count("*").cast("long").alias("total")))
+        upd = F.greatest(F.lit(1), F.floor(F.col("total") / 20))
+        ns = F.sequence(F.lit(1), F.col("total"))
+        cps = F.filter(ns, lambda n: (n % upd == 0)
+                       | (n == F.col("total")))
+        return (t.select("source", "total", F.explode(cps).alias("n"))
+                .select("source", F.col("n").cast("long").alias("n"),
+                        F.round(F.lit(15) + F.lit(78)
+                                * (F.col("n") / F.col("total")), 3)
+                        .alias("progress")))
+    q["a3_progress_checkpoints"] = a3_progress
+
     def j1_enrich(spark, sf):
         """J1: enrichment join (documents x embeddings on id) — the
         OCR-text join-back shape; small side broadcastable."""
@@ -888,6 +906,16 @@ def oracle_sql() -> dict[str, str]:
                  sum(CASE WHEN {_KIND_SQL} = 'wav' THEN 1 ELSE 0 END)::bigint
                  AS n_rejected
           FROM documents GROUP BY source
+        """,
+        "a3_progress_checkpoints": """
+          WITH t AS (SELECT source, count(*)::bigint AS total
+                     FROM documents GROUP BY source),
+          c AS (SELECT source, total, greatest(1, total // 20) AS upd,
+                       unnest(range(1, total + 1)) AS n
+                FROM t)
+          SELECT source, n::bigint AS n,
+                 round(15 + 78 * (n * 1.0 / total), 3) AS progress
+          FROM c WHERE n % upd = 0 OR n = total
         """,
         "j1_enrichment_join": """
           SELECT e.label AS label, count(*)::bigint AS n_docs,

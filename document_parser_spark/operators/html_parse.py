@@ -306,14 +306,22 @@ class _FlatEmitter(HTMLParser):
 # faster implementation of identical behavior — asserted by differential
 # tests over fixtures, synth corpus, and adversarial cases.
 
+# Start-tag NAME charset mirrors CPython's tagfind_tolerant
+# ([a-zA-Z][^\t\n\r\f />\x00]*): names munch quotes, semicolons, etc.
+# ('<a;>' is tag 'a;', not 'a' — fuzz-caught). '<' is excluded from
+# our class: a name CPython would continue through '<' fails to match
+# here, falls into a data segment, and bails the doc (safe fallback).
 _MASTER_RE = re.compile(r"""<(?:
     (?P<end>/)(?P<etag>[a-zA-Z][-.a-zA-Z0-9:_]*)(?P<ejunk>[^<>]*)>
-  | (?P<tag>[a-zA-Z][-.a-zA-Z0-9:_]*)
+  | (?P<tag>[a-zA-Z][^\t\n\r\f\x20/>\x00<]*)
       (?P<attrs>(?:[^<>"']+|"[^"]*"|'[^']*')*)
       >
   | !--(?P<comment>.*?)-->
-  | (?P<decl>[!?][^<>]*)>
+  | (?P<decl>(?:!(?!--)|\?)[^<>]*)>
 )""", re.VERBOSE | re.DOTALL)
+# the decl branch refuses '!--' prefixes: '<!-->' (a comment opener
+# with no terminator) must NOT parse as a declaration — it falls into
+# a data segment and bails to html.parser (fuzz-caught).
 # unterminated comments/declarations deliberately do NOT match: they fall
 # into a data segment, trip the suspicious-data check, and bail the doc
 # (html.parser flushes them as data at close() — parser-specific recovery).

@@ -112,6 +112,10 @@ ADVERSARIAL = [
     "<p>trailing amp &",
     "<p>&#;</p>",
     "é café <p>unicode Ж</p>",
+    "<a;>1 tolerant tag name</a;>",     # fuzz-caught: name munches ';'
+    "<!-->after bogus comment<p>t</p>",  # fuzz-caught: not a decl
+    "<a\"q\">quote in name</a>",
+    "<!->tiny decl<p>t</p>",
     "<p>a\nb\r\nc</p>",
     "<pre>  keep\n  spacing &lt;x&gt;  </pre>",
     "",
