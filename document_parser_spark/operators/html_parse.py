@@ -337,6 +337,59 @@ _CDATA_LOOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE)
 _CDATA_STRICT = {t: re.compile(rf"</{t}\s*>", re.IGNORECASE)
                  for t in _CDATA_TAGS}
 
+# --- exact start-tag classification for tags whose source ends '/>' ---------
+# CPython's attrfind_tolerant munches '/' into unquoted attr VALUES
+# ((?![\'"])[^>\s]*) but not into attr NAMES, so '<script src=x/>' is a
+# START tag with src='x/' (and script/style enter CDATA mode) while
+# '<input disabled/>' and '<a href="x"/>' are startendtags; a dangling
+# '=' even folds across whitespace ('<a b= />' -> start tag, b='/').
+# The r2 ADVICE found the old raw "/>"-suffix check diverging here, and
+# every cheaper heuristic we tried lost to some tolerant-parsing corner
+# ('<a "q"=/>' name-with-quotes, '<a x=y"q"/>' quote-in-value...), so
+# for this rare shape we replay CPython's own parse_starttag attr loop
+# verbatim, using the stdlib's own regexes (parity with the RUNTIME's
+# html.parser is the contract).
+try:    # CPython html/parser.py module-level names (no underscore)
+    from html.parser import attrfind_tolerant as _ATTRFIND
+    from html.parser import tagfind_tolerant as _TAGFIND
+except ImportError:                                   # pragma: no cover
+    _TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+    _ATTRFIND = re.compile(
+        r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+        r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*")
+
+
+def _start_kind(src: str) -> tuple[str, list] | None:
+    """Classify a candidate start tag whose raw text between '<' and '>'
+    is ``src`` (ends with '/'), by replaying CPython parse_starttag's
+    attribute loop. Returns ('se'|'s', attrs-as-CPython-would) or None
+    to bail the doc to html.parser (its error-recovery path)."""
+    full = src + ">"
+    endpos = len(full)
+    m = _TAGFIND.match(full)
+    k = m.end()
+    attrs: list = []
+    while k < endpos:
+        am = _ATTRFIND.match(full, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif (attrvalue[:1] == "'" == attrvalue[-1:]
+              or attrvalue[:1] == '"' == attrvalue[-1:]):
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = _unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+    end = full[k:endpos].strip()
+    if end == "/>":
+        return "se", attrs
+    if end == ">":
+        return "s", attrs
+    return None        # parse_starttag error recovery: parser decides
+
 
 def _scan_fast(doc: str) -> list | None:
     """Tokenize ``doc`` into buffered events
@@ -374,14 +427,26 @@ def _scan_fast(doc: str) -> list | None:
             continue
         tag = m.group("tag")
         if tag is not None:
-            tag = tag.lower()
-            selfclose = doc[m.end() - 2:m.end()] == "/>"
+            rawtag, tag = tag, tag.lower()
+            a = m.group("attrs")
             attrs: list = []
-            if tag == "img":
-                sm = _SRC_RE.search(m.group("attrs"))
-                if sm:
-                    val = next(g for g in sm.groups() if g is not None)
-                    attrs = [("src", _unescape(val) if "&" in val else val)]
+            if a.endswith("/"):
+                res = _start_kind(rawtag + a)
+                if res is None:
+                    return None   # tolerant-parsing corner: parser decides
+                kind, exact_attrs = res
+                selfclose = kind == "se"
+                if tag == "img":
+                    attrs = [(an, av) for an, av in exact_attrs
+                             if an == "src" and av is not None][:1]
+            else:
+                selfclose = False
+                if tag == "img":
+                    sm = _SRC_RE.search(a)
+                    if sm:
+                        val = next(g for g in sm.groups() if g is not None)
+                        attrs = [("src",
+                                  _unescape(val) if "&" in val else val)]
             events.append(("se" if selfclose else "s", tag, attrs))
             if not selfclose and tag in _CDATA_LOOSE:
                 lm = _CDATA_LOOSE[tag].search(doc, pos)

@@ -118,6 +118,25 @@ ADVERSARIAL = [
     "<!->tiny decl<p>t</p>",
     "<p>a\nb\r\nc</p>",
     "<pre>  keep\n  spacing &lt;x&gt;  </pre>",
+    # r2 ADVICE: unquoted attr value abutting '/>' folds the '/' into the
+    # value in CPython -> plain START tag (script enters CDATA mode)
+    "<script src=x/>body leaks?</script><p>t</p>",
+    "<pre id=a/>inside</pre><p>t</p>",
+    "<h1 id=t/>head</h1>",
+    "<table border=1/><tr><td>c</table>",
+    "<img src=i.png/><p>t</p>",
+    "<a href=http://e.com/p/>link</a>",
+    "<input disabled/><p>t</p>",          # bare name: '/' NOT folded
+    "<a b= />dangling eq</a>",            # folds across whitespace
+    "<a b = />spaced eq</a>",
+    "<a b=\"x\"=y/>eq-name corner</a>",
+    "<a b=c //>double slash</a>",
+    "<a b=\"x\"/y/>slash-skip name</a>",
+    "<a a/=y/>slash before eq</a>",
+    "<a foo=/>empty-ish value</a>",
+    "<a b=c/d/>slash in value</a>",
+    "<a b==y/>double eq</a>",
+    "<style p=q/>h1{x}</style><p>t</p>",
     "",
 ]
 
@@ -144,6 +163,8 @@ _FRAGMENTS = st.sampled_from([
     "&bogus;", "&", "<", ">", "</", "<!", "<!--", "-->", "<!-- c -->",
     "<!DOCTYPE html>", "\"", "'", "/", "=", " ", "\n", "é", "<x y=1>",
     "</wrong>", "<UPPER>", "<3", "<table><td>c</td></table>",
+    "<script src=x/>", "<img src=i.png/>", "<input disabled/>",
+    "<a b= />", "<a b=c/d/>",
 ])
 
 
