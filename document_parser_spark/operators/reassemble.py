@@ -41,6 +41,15 @@ from document_parser_spark.schema import FAIL_KIND
 DOC_MARKER_KIND = "__doc__"
 _META_KINDS = (FAIL_KIND, DOC_MARKER_KIND)
 
+# Hot-doc plan choice: the hot-id set is collected to the driver ONCE,
+# bounded. ~20 B/id: the cap costs <= ~20 MB driver memory; above it the
+# corpus is so skew-ridden that unconditional two-phase is the right
+# plan anyway. _ISIN_MAX keeps the literal IN-list small enough for
+# codegen; bigger sets become a broadcast LocalRelation join (local
+# data -> zero lineage re-evaluation).
+_HOT_ID_CAP = 1_000_000
+_ISIN_MAX = 1_024
+
 def _item() -> F.Column:
     return F.struct(
         F.col("ord0"), F.col("ord1"), F.col("kind"),
@@ -75,28 +84,33 @@ def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
 
     ``salt_threshold``: span count above which a doc counts as HOT and
     gets salted (None = every doc, the always-salt mode). Adaptive
-    mode is a driver-side plan choice (AQE-spirited): a tiny eager
-    probe — ``limit(1)`` over docs exceeding the threshold, so it
-    short-circuits on the first hot doc — decides between
+    mode is a driver-side plan choice (AQE-spirited), decided by ONE
+    bounded driver collect of the hot-id set (the r2 probe-then-join
+    shape evaluated the hot_docs lineage twice — r2 ADVICE):
 
       * no hot docs: pure single-phase collect. ONE exchange; Spark's
         map-side ``partial_collect_list`` already provides the
         partial-combine role, so the explicit second phase would be a
         pure extra exchange of all span data (measured,
         tools/skew_bench.py).
-      * hot docs present: ONE plan tree where the phase-1 key is
-        ``CASE hot THEN pmod(hash(ord0, ord1), K) ELSE 0`` — hot docs
-        spread over K partial collects, cold docs ride along with a
-        constant salt. The parsed relation is consumed exactly once
-        (no hot/cold plan fork — a fork duplicates the upstream UDF
-        parse subtree).
+      * hot docs present (<= cap): ONE plan tree where the phase-1 key
+        is ``CASE hot THEN pmod(hash(ord0, ord1), K) ELSE 0`` — hot
+        docs spread over K partial collects, cold docs ride along with
+        a constant salt. The hot set is either an ``isin`` literal
+        (small) or a broadcast LocalRelation built from the collected
+        ids (no lineage re-evaluation either way); the parsed relation
+        is consumed exactly once (no hot/cold plan fork — a fork
+        duplicates the upstream UDF parse subtree).
+      * more hot docs than the cap: unconditional two-phase.
 
     The hot set comes from ``hot_docs`` (doc_id rows) if given —
     ``extract`` passes the ingest-flagged giant bucket (or a raw-scan
     estimate); without it, sizes are counted from ``parsed`` itself
     (fine for a materialized relation, wasteful for a UDF pipeline).
-    NOTE the probe makes adaptive mode run one small job at
-    plan-build time.
+    When the hot_docs lineage constant-folds to empty (e.g. a
+    ``lit('s')`` size_bucket), the collect is served from the
+    LocalRelation WITHOUT launching any Spark job — adaptive mode then
+    costs nothing at plan-build time.
     Fail rows (kind='__fail__') and per-doc presence markers
     (kind='__doc__', emitted so that fully-filtered docs still surface
     with status 'empty') are tallied/stripped here.
@@ -110,19 +124,31 @@ def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
                             .agg(F.count("*").alias("_n"))
                             .filter(F.col("_n") > salt_threshold)
                             .select("doc_id"))
-            hot_ids = hot_docs.select("doc_id",
-                                      F.lit(True).alias("_hot"))
-            if hot_ids.limit(1).count() == 0:
+            hot_rows = hot_docs.limit(_HOT_ID_CAP + 1).collect()
+            if not hot_rows:
                 docs = _single_phase(parsed)
+            elif len(hot_rows) > _HOT_ID_CAP:
+                docs = _two_phase(parsed, salt_buckets)
             else:
-                tagged = parsed.join(F.broadcast(hot_ids), "doc_id",
-                                     "left")
-                case_salt = F.when(
-                    F.col("_hot").isNotNull(),
-                    F.pmod(F.hash("ord0", "ord1"), F.lit(salt_buckets))
-                ).otherwise(F.lit(0))
-                docs = _two_phase(tagged, salt_buckets,
-                                  salt_expr=case_salt)
+                bucket_salt = F.pmod(F.hash("ord0", "ord1"),
+                                     F.lit(salt_buckets))
+                if len(hot_rows) <= _ISIN_MAX:
+                    case_salt = F.when(
+                        F.col("doc_id").isin([r[0] for r in hot_rows]),
+                        bucket_salt).otherwise(F.lit(0))
+                    docs = _two_phase(parsed, salt_buckets,
+                                      salt_expr=case_salt)
+                else:
+                    hot_ids = (parsed.sparkSession.createDataFrame(
+                        [(r[0],) for r in hot_rows], "doc_id string")
+                        .withColumn("_hot", F.lit(True)))
+                    tagged = parsed.join(F.broadcast(hot_ids), "doc_id",
+                                         "left")
+                    case_salt = (F.when(F.col("_hot").isNotNull(),
+                                        bucket_salt)
+                                 .otherwise(F.lit(0)))
+                    docs = _two_phase(tagged, salt_buckets,
+                                      salt_expr=case_salt)
     else:
         docs = _single_phase(parsed)
 

@@ -201,13 +201,17 @@ def extract(
                                   == GIANT_SIZE_BUCKET)
                         .select("doc_id"))
         else:
+            # long accumulator: a giant doc's total span bytes can pass
+            # 2^31, and int32 wraparound would hide exactly the doc the
+            # guard exists for (r2 ADVICE)
             est = (
-                F.size("spans")
+                F.size("spans").cast("long")
                 + (F.aggregate(
-                    "spans", F.lit(0),
-                    lambda a, s: a + F.coalesce(F.length(s["text"]),
-                                                F.lit(0)))
-                   / F.lit(200)).cast("int")
+                    "spans", F.lit(0).cast("long"),
+                    lambda a, s: a + F.coalesce(F.length(s["text"])
+                                                .cast("long"),
+                                                F.lit(0).cast("long")))
+                   / F.lit(200)).cast("long")
             )
             hot_docs = (df.select("doc_id", est.alias("_n"))
                         .filter(F.col("_n") > salt_threshold)

@@ -23,7 +23,8 @@ DOCUMENTS_IN_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
     StructField("spans", ArrayType(SPAN_STRUCT), False),
     StructField("host", StringType(), True),          # skew key (optional)
-    StructField("size_bucket", StringType(), True),   # s|m|l|xl (optional)
+    StructField("size_bucket", StringType(), True),   # s|m|l|xl|g (optional;
+    # 'g' = ingest-flagged giant, keys extract()'s adaptive salting)
 ])
 
 DOCUMENTS_OUT_SCHEMA = StructType([

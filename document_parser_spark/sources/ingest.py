@@ -19,6 +19,10 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from document_parser_spark.config import (
+    GIANT_SIZE_BUCKET,
+    SALT_SPAN_THRESHOLD,
+)
 from document_parser_spark.refparser.textkernel import to_utf8_bytes
 
 
@@ -46,7 +50,16 @@ def ingest_raw_text(df: DataFrame, content_col: str = "content",
     ))
     host = (F.col("host") if "host" in df.columns
             else F.lit("ingest")).alias("host")
+    # size_bucket is the downstream salting hint: flag GIANT docs here,
+    # where measuring is free (raw byte length of the still-encoded
+    # content — ~1 byte/char lower bound; /200 mirrors the html
+    # block-expansion estimate in plans.pipeline). The r2 ADVICE found
+    # no producer ever wrote 'g', silently disabling adaptive salting.
+    est_spans = F.lit(1) + (F.length(F.col(content_col)) / F.lit(200)) \
+        .cast("long")
     bucket = (F.col("size_bucket") if "size_bucket" in df.columns
-              else F.lit("s")).alias("size_bucket")
+              else F.when(est_spans > F.lit(SALT_SPAN_THRESHOLD),
+                          F.lit(GIANT_SIZE_BUCKET))
+              .otherwise(F.lit("s"))).alias("size_bucket")
     return df.select(F.col("doc_id").cast("string").alias("doc_id"),
                      span.alias("spans"), host, bucket)

@@ -14,7 +14,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from document_parser_spark.config import INVISIBLE_CODEPOINTS, SYNTH_SEED
+from document_parser_spark.config import (
+    GIANT_SIZE_BUCKET,
+    INVISIBLE_CODEPOINTS,
+    SALT_SPAN_THRESHOLD,
+    SYNTH_SEED,
+)
 
 Span = tuple[str, str, str, int]  # (kind, text, media_ref, offset)
 
@@ -258,6 +263,13 @@ def generate_doc(idx: int) -> tuple[str, list[Span], str, str]:
             off += 1
     else:
         spans = [("text", _paragraph(rng), "", i) for i in range(max(1, size))]
+    # honest giant flag (unreachable at the current 400-span cap, but the
+    # rule must exist wherever size_bucket is produced — r2 ADVICE): span
+    # count or payload bytes above the salting threshold -> 'g'
+    if (len(spans) > SALT_SPAN_THRESHOLD
+            or sum(len(t) for _, t, _, _ in spans)
+            > SALT_SPAN_THRESHOLD * 200):
+        bucket = GIANT_SIZE_BUCKET
     return doc_id, spans, host, bucket
 
 

@@ -118,6 +118,63 @@ def test_dedup_minhash_no_global_sort(spark, entry):
     assert "rangepartitioning" not in p.lower()
 
 
+def test_extract_plan_build_launches_no_job(spark, entry):
+    """Adaptive salting's hot-set decision must not cost a Spark job at
+    plan-build time for the canonical driver shape (lit('s')
+    size_bucket constant-folds the 'g' filter to an empty
+    LocalRelation, served driver-side). r2 bench regression root
+    cause: the old limit(1).count() probe re-ran the input derivation
+    on every extract() call."""
+    from document_parser_spark.plans.pipeline import extract
+    docs = entry._span_docs(
+        entry._tbl(spark, SF, "documents"))
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    before = dag.numTotalJobs()
+    extract(docs)          # plan build only — no action
+    assert dag.numTotalJobs() == before
+
+
+def test_giant_bucket_engages_case_salt(spark):
+    """A 'g'-flagged doc must route extract() to the CASE-salted
+    two-phase tree (r2 ADVICE: no producer ever wrote 'g', so the
+    protection was dead code) — and reassemble it exactly."""
+    from document_parser_spark.plans.pipeline import extract
+    from document_parser_spark.schema import DOCUMENTS_IN_SCHEMA
+    rows = [{"doc_id": "hot", "host": "h", "size_bucket": "g",
+             "spans": [{"kind": "text", "text": f"w{j}",
+                        "media_ref": None, "offset": j}
+                       for j in range(300)]},
+            {"doc_id": "cold", "host": "h", "size_bucket": "s",
+             "spans": [{"kind": "text", "text": "c", "media_ref": None,
+                        "offset": 0}]}]
+    df = spark.createDataFrame(rows, DOCUMENTS_IN_SCHEMA)
+    out = extract(df, salt_threshold=100)
+    p = plan(out)
+    assert "pmod" in p           # CASE-salt reached the phase-1 key
+    got = {r.doc_id: r for r in out.collect()}
+    assert [s["text"] for s in got["hot"].spans] \
+        == [f"w{j}" for j in range(300)]
+    assert [s["offset"] for s in got["hot"].spans] == list(range(300))
+    assert len(got["cold"].spans) == 1
+
+
+def test_ingest_flags_giant_bucket(spark):
+    """ingest_raw_text derives size_bucket from raw byte length:
+    ordinary docs 's', pathological ones 'g'."""
+    from document_parser_spark.config import (
+        GIANT_SIZE_BUCKET,
+        SALT_SPAN_THRESHOLD,
+    )
+    from document_parser_spark.sources.ingest import ingest_raw_text
+    big = b"x" * (SALT_SPAN_THRESHOLD * 200 + 400)
+    df = spark.createDataFrame(
+        [("a", b"small doc"), ("b", big)], "doc_id string, content binary")
+    got = {r.doc_id: r.size_bucket
+           for r in ingest_raw_text(df).select(
+               "doc_id", "size_bucket").collect()}
+    assert got == {"a": "s", "b": GIANT_SIZE_BUCKET}
+
+
 def test_ann_topk_partial_per_partition(spark):
     """Brute-force top-k: TakeOrderedAndProject (partial top-k per
     partition + merge), never a full Sort of all rows."""
