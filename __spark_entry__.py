@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from document_parser_spark.config import (
     INVISIBLE_CODEPOINTS,
     INVISIBLE_REPLACEMENT,
+    MOJIBAKE_LEAD_HI,
+    MOJIBAKE_LEAD_LO,
+    PY_WHITESPACE,
     REPLACEMENT_CHAR,
 )
 from document_parser_spark.ops import decontam as dc
@@ -120,6 +123,36 @@ sh AS (SELECT doc_id,
 """
 
 
+# --- structural-guard helpers (r2 VERDICT: the extraction oracles must
+# not depend on the corpus happening to avoid the kernel's Python-only
+# steps; both sides now share generated predicates/sanitizers) ---------------
+
+# chars whose presence would make the full kernel diverge from the
+# SQL-expressible clean chain: '<'/'&' (DOM constructs) + the mojibake
+# lead-byte range; '/uni' handled as a literal replace
+_SANIT_FROM = "<&" + "".join(
+    chr(c) for c in range(ord(MOJIBAKE_LEAD_LO), ord(MOJIBAKE_LEAD_HI) + 1))
+_SANIT_FROM_SQL = "||".join(f"chr({ord(c)})" for c in _SANIT_FROM)
+_MOJI_JAVA = f"[{MOJIBAKE_LEAD_LO}-{MOJIBAKE_LEAD_HI}]"
+_MOJI_RE2 = (f"[\\x{{{ord(MOJIBAKE_LEAD_LO):x}}}"
+             f"-\\x{{{ord(MOJIBAKE_LEAD_HI):x}}}]")
+_WS_SQL = "||".join(f"chr({ord(c)})" for c in PY_WHITESPACE)
+_WS_RE2 = "[" + "".join(f"\\x{{{ord(c):x}}}" for c in PY_WHITESPACE) + "]+"
+
+
+def _non_blank_sql(expr: str) -> str:
+    """DuckDB mirror of the pipeline's blank test (Python str.strip()
+    semantics via the shared PY_WHITESPACE set)."""
+    return f"length(translate({expr}, {_WS_SQL}, '')) > 0"
+
+
+def _collapse_sql(expr: str) -> str:
+    """DuckDB mirror of collapse_series (str.split()/join(' ') — Python
+    whitespace runs -> single space, ends stripped)."""
+    return ("array_to_string(list_filter(string_split_regex("
+            f"{expr}, '{_WS_RE2}'), x -> x <> ''), ' ')")
+
+
 def _span_docs(docs: DataFrame) -> DataFrame:
     """Derive the canonical interleaved span table (input_hint schema)
     from the flat documents table, deterministically:
@@ -148,6 +181,62 @@ def _span_docs(docs: DataFrame) -> DataFrame:
         named_struct('kind', 'image', 'text', '',
                      'media_ref', concat('img://', cast(doc_id as string)),
                      'offset', cast(size(spans0) as int))
+    """)
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    mk_spans.alias("spans0"),
+                    F.col("doc_id").alias("_id"))
+        .select("doc_id",
+                F.when(F.pmod("_id", F.lit(3)) == 0,
+                       F.concat("spans0", F.array(img)))
+                .otherwise(F.col("spans0")).alias("spans"),
+                F.lit("derived").alias("host"),
+                F.lit("s").alias("size_bucket"))
+    )
+
+
+def _span_docs_guarded(docs: DataFrame) -> DataFrame:
+    """``_span_docs`` with the STRUCTURAL kernel guard (r2 VERDICT #1):
+    input where the clean kernel's Python-only steps (``/uniXXXX``
+    unescape, mojibake re-decode) could fire is excluded/sanitized
+    identically on the Spark and oracle sides, so kernel equality over
+    the remaining rows follows from the code (those steps are no-ops
+    absent their trigger patterns) instead of from the corpus happening
+    to be clean. Text-family chunks carrying a trigger are DROPPED
+    (exercising the order-gap path); html-family text additionally has
+    '<' and '&' blanked so the DOM parse stays SQL-reconstructible."""
+    sanit_to = " " * len(_SANIT_FROM)
+    mk_spans = F.expr(f"""
+        CASE WHEN doc_id % 5 = 0 THEN
+          array(named_struct(
+            'kind', 'html',
+            'text', concat('<body><h1>Doc ', cast(doc_id as string),
+                           '</h1><p>',
+                           replace(translate(text, '{_SANIT_FROM}',
+                                             '{sanit_to}'),
+                                   '/uni', ' '),
+                           '</p></body>'),
+            'media_ref', '', 'offset', cast(0 as int)))
+        ELSE
+          filter(
+            transform(
+              sequence(0, int(ceil(size(split(text, ' ')) / 8.0)) - 1),
+              i -> named_struct(
+                'kind', 'text',
+                'text', concat_ws(' ',
+                                  slice(split(text, ' '), i * 8 + 1, 8)),
+                'media_ref', '', 'offset', cast(i as int))),
+            sp -> NOT (instr(sp.text, '/uni') > 0
+                       OR sp.text rlike '{_MOJI_JAVA}'))
+        END
+    """)
+    # image offset pinned to int32-max: the guard filter shrinks spans0,
+    # so size(spans0) could undercut a surviving chunk's original offset
+    # and invert reading order (caught by the dirty-corpus check)
+    img = F.expr("""
+        named_struct('kind', 'image', 'text', '',
+                     'media_ref', concat('img://', cast(doc_id as string)),
+                     'offset', cast(2147483647 as int))
     """)
     return (
         docs.select(F.col("doc_id").cast("string").alias("doc_id"),
@@ -575,13 +664,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )).alias("spans_sig"))
     q["j1_ocr_insert_after"] = j1_ocr
 
-    # ---- full extraction pipeline (rows-only: pandas-UDF stages) --------
+    # ---- full extraction pipeline, COMPOSED oracle (r2 VERDICT #6):
+    # mixed families + union + one reassembly, full-markdown compared
+    # against the union of the two family reconstructions --------------
     def pipeline(spark, sf):
         _ensure_pkg(spark)
-        out = extract(_span_docs(_tbl(spark, sf, "documents")))
+        out = extract(_span_docs_guarded(_tbl(spark, sf, "documents")))
         return out.select("doc_id", "status",
                           F.size("spans").cast("long").alias("n_spans"),
-                          F.length("markdown").cast("long").alias("md_len"))
+                          "markdown")
     q["extract_pipeline"] = pipeline
 
     def vlm_roundtrip(spark, sf):
@@ -624,7 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_pkg(spark)
         docs = _tbl(spark, sf, "documents") \
             .filter(F.pmod("doc_id", F.lit(5)) == 0)
-        out = extract(_span_docs(docs))
+        out = extract(_span_docs_guarded(docs))
         return out.select("doc_id", "status",
                           F.size("spans").cast("long").alias("n_spans"),
                           "markdown")
@@ -640,7 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_pkg(spark)
         docs = _tbl(spark, sf, "documents") \
             .filter(F.pmod("doc_id", F.lit(5)) != 0)
-        out = extract(_span_docs(docs))
+        out = extract(_span_docs_guarded(docs))
         return out.select("doc_id", "status",
                           F.size("spans").cast("long").alias("n_spans"),
                           "markdown")
@@ -723,37 +814,79 @@ def _rolling_fp_oracle(window: int = 8) -> str:
     """
 
 
-def _md_roundtrip_oracle() -> str:
-    """DuckDB reconstruction of the text+image pipeline family:
-    8-word chunks -> clean chain (full invisible table + U+FFFD) ->
-    blank-drop -> ordered reassembly -> markdown join ('\\n\\n' between
-    blocks, '<!-- image -->' placeholder for the trailing image)."""
+def _extract_oracle(which: str) -> str:
+    """DuckDB reconstruction of the guarded extraction pipeline —
+    ``which`` in {'md', 'html', 'both'}. ONE generator feeds the two
+    family roundtrips AND the composed ``extract_pipeline`` oracle so
+    they can never drift apart (r2 VERDICT #6). Every predicate/chain
+    is generated from the same constants the Spark side uses: invisible
+    table, U+FFFD fix, mojibake lead range, '/uni' literal, Python
+    whitespace set (blank + collapse rules).
+
+    md family: 8-word chunks -> kernel-trigger guard (chunks with
+    '/uni' or a mojibake lead DROPPED, mirroring the query's span
+    filter) -> clean chain -> blank-drop -> ordered reassembly ->
+    '\\n\\n' join + '<!-- image -->' for the trailing image.
+    html family: sanitized text ('<', '&', mojibake leads blanked,
+    '/uni' removed — mirroring the derivation) -> clean chain ->
+    whitespace collapse -> '# Doc N' heading + body + image marker."""
     cleaned = "replace(" + _invis_chain_sql("ch") + ", chr(65533), '.')"
-    return f"""
-      WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
-                 FROM documents WHERE doc_id % 5 <> 0),
-      chunks AS (SELECT doc_id, i,
-                        array_to_string(arr[i*8+1 : i*8+8], ' ') AS ch
-                 FROM (SELECT doc_id, arr,
-                              unnest(range((len(arr) + 7) // 8)) AS i
-                       FROM s)),
-      kept AS (SELECT doc_id, i, {cleaned} AS ch
-               FROM chunks WHERE trim({cleaned}) <> ''),
-      blocks AS (
-        SELECT doc_id, i AS ord, ch AS md FROM kept
+    guard = (f"position('/uni' IN ch) = 0"
+             f" AND NOT regexp_matches(ch, '{_MOJI_RE2}')")
+    md_ctes = f"""
+      ms AS (SELECT doc_id, string_split(text, ' ') AS arr
+             FROM documents WHERE doc_id % 5 <> 0),
+      mchunks AS (SELECT doc_id, i,
+                         array_to_string(arr[i*8+1 : i*8+8], ' ') AS ch
+                  FROM (SELECT doc_id, arr,
+                               unnest(range((len(arr) + 7) // 8)) AS i
+                        FROM ms)),
+      mkept AS (SELECT doc_id, i, {cleaned} AS ch
+                FROM mchunks
+                WHERE ({guard}) AND {_non_blank_sql(cleaned)}),
+      mblocks AS (
+        SELECT doc_id, i AS ord, ch AS md FROM mkept
         UNION ALL
         SELECT doc_id, 2147483647 AS ord, '<!-- image -->' AS md
-        FROM s WHERE doc_id % 3 = 0),
-      agg AS (SELECT doc_id, count(*)::bigint AS n_spans,
-                     string_agg(md, chr(10) || chr(10) ORDER BY ord)
-                     AS markdown
-              FROM blocks GROUP BY doc_id)
-      SELECT doc_id, 'ok' AS status, n_spans, markdown FROM agg
+        FROM ms WHERE doc_id % 3 = 0),
+      magg AS (SELECT doc_id, count(*)::bigint AS n_spans,
+                      string_agg(md, chr(10) || chr(10) ORDER BY ord)
+                      AS markdown
+               FROM mblocks GROUP BY doc_id)"""
+    md_sel = """
+      SELECT doc_id::varchar AS doc_id, 'ok' AS status, n_spans, markdown
+      FROM magg
       UNION ALL
-      SELECT doc_id, 'empty' AS status, 0::bigint AS n_spans,
-             '' AS markdown
-      FROM s WHERE doc_id NOT IN (SELECT doc_id FROM agg)
-    """
+      SELECT doc_id::varchar AS doc_id, 'empty' AS status,
+             0::bigint AS n_spans, '' AS markdown
+      FROM ms WHERE doc_id NOT IN (SELECT doc_id FROM magg)"""
+    sanitized = (f"replace(translate(text, {_SANIT_FROM_SQL}, "
+                 f"repeat(' ', {len(_SANIT_FROM)})), '/uni', ' ')")
+    hclean = ("replace(" + _invis_chain_sql(sanitized)
+              + ", chr(65533), '.')")
+    html_ctes = f"""
+      hs AS (SELECT doc_id, {_collapse_sql(hclean)} AS body
+             FROM documents WHERE doc_id % 5 = 0)"""
+    html_sel = """
+      SELECT doc_id::varchar AS doc_id, 'ok' AS status,
+             ((CASE WHEN body <> '' THEN 2 ELSE 1 END)
+              + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END))::bigint
+             AS n_spans,
+             '# Doc ' || doc_id::varchar
+             || CASE WHEN body <> ''
+                     THEN chr(10) || chr(10) || body ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || chr(10) || '<!-- image -->'
+                     ELSE '' END
+             AS markdown
+      FROM hs"""
+    if which == "md":
+        return f"WITH {md_ctes} {md_sel}"
+    if which == "html":
+        return f"WITH {html_ctes} {html_sel}"
+    return (f"WITH {md_ctes}, {html_ctes} "
+            f"SELECT * FROM ({md_sel}) "
+            f"UNION ALL SELECT * FROM ({html_sel})")
 
 
 def _minhash_oracle(jaccard_tail: str) -> str:
@@ -989,26 +1122,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_id": lang_best,
         "text_rolling_fingerprints": _rolling_fp_oracle(),
-        "extract_html_roundtrip": f"""
-          WITH h AS (SELECT doc_id,
-                            trim(regexp_replace(
-                              replace({_invis_chain_sql("text")},
-                                      chr(65533), '.'),
-                              '\\s+', ' ', 'g')) AS body
-                     FROM documents WHERE doc_id % 5 = 0)
-          SELECT doc_id::varchar AS doc_id, 'ok' AS status,
-                 ((CASE WHEN body <> '' THEN 2 ELSE 1 END)
-                  + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END))::bigint
-                 AS n_spans,
-                 '# Doc ' || doc_id::varchar
-                 || CASE WHEN body <> ''
-                         THEN chr(10) || chr(10) || body ELSE '' END
-                 || CASE WHEN doc_id % 3 = 0
-                         THEN chr(10) || chr(10) || '<!-- image -->'
-                         ELSE '' END
-                 AS markdown
-          FROM h
-        """,
+        "extract_html_roundtrip": _extract_oracle("html"),
+        "extract_pipeline": _extract_oracle("both"),
         "pdf_vlm_roundtrip": """
           WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
                      FROM documents),
@@ -1037,7 +1152,7 @@ def oracle_sql() -> dict[str, str]:
                  0::bigint AS n_spans, '' AS markdown
           FROM s WHERE doc_id NOT IN (SELECT doc_id FROM agg)
         """,
-        "extract_markdown_roundtrip": _md_roundtrip_oracle(),
+        "extract_markdown_roundtrip": _extract_oracle("md"),
         "text_fingerprint": r"""
           SELECT doc_id,
                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
@@ -1257,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
                                 chr(31) ORDER BY new_off)) AS spans_sig
           FROM seq GROUP BY doc_id
         """,
-        # extract_pipeline / multimodal_decode_stub: rows-only by design
-        # (pandas-UDF stages — not SQL-expressible).
+        # every queries() entry now has an oracle: extract_pipeline
+        # gained its composed one (union of the two family
+        # reconstructions) in round 3.
     }

@@ -51,6 +51,17 @@ UNI_ESCAPE_PATTERN: str = r"/uni([0-9A-Fa-f]{4})"
 MOJIBAKE_LEAD_LO: str = "Â"
 MOJIBAKE_LEAD_HI: str = "ô"
 
+# The exact whitespace set of Python's str.strip()/str.split() — the
+# reference's blank test is `if not text.strip()` (refparser mirrors it),
+# so THIS set, not Java's (?U)\s (which omits U+001C-001F), is the blank
+# contract. Derived at import so it can never drift from the runtime's
+# semantics; shared by the Spark-side blank filter (F.translate), the
+# pandas kernels (str.split uses it implicitly) and the driver oracle
+# generator, making the blank rule structural rather than
+# corpus-dependent. Max isspace codepoint is U+3000.
+PY_WHITESPACE: str = "".join(
+    chr(c) for c in range(0x3001) if chr(c).isspace())
+
 # ---------------------------------------------------------------------------
 # Span model (BASELINE.json input_hint / FIXTURES.md)
 # ---------------------------------------------------------------------------

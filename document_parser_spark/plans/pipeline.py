@@ -24,6 +24,7 @@ from document_parser_spark.config import (
     GIANT_SIZE_BUCKET,
     IMAGE_MODE_PLACEHOLDER,
     INPUT_KINDS,
+    PY_WHITESPACE,
     SALT_SPAN_THRESHOLD,
     STATUS_EMPTY,
     STATUS_OK,
@@ -68,10 +69,17 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
 
     exploded = explode_spans(df, exclude_pdf=True)
 
+    # Blank test (F8): the reference's `if not text.strip()` — Python
+    # strip semantics via the shared PY_WHITESPACE set (translate is
+    # also codegen, where the old (?U)\s rlike was not, and Java's \s
+    # misses U+001C-001F)
+    def _non_blank(col: str) -> F.Column:
+        return F.length(F.translate(col, PY_WHITESPACE, "")) > 0
+
     text_rows = (
         exploded.filter(F.col("kind") == "text")
         .withColumn("_clean", clean_udf("text"))
-        .filter(F.col("_clean").isNotNull() & ~F.col("_clean").rlike(r"(?U)^\s*$"))
+        .filter(F.col("_clean").isNotNull() & _non_blank("_clean"))
         .select(
             "doc_id",
             F.col("offset").alias("ord0"),
@@ -88,7 +96,7 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
     docx_rows = (
         exploded.filter(F.col("kind") == "docx")
         .withColumn("_clean", make_docx_clean_udf()("text"))
-        .filter(F.col("_clean").isNotNull() & ~F.col("_clean").rlike(r"(?U)^\s*$"))
+        .filter(F.col("_clean").isNotNull() & _non_blank("_clean"))
         .select(
             "doc_id",
             F.col("offset").alias("ord0"),

@@ -1,0 +1,83 @@
+"""The extraction oracles must match Spark on an ADVERSARIAL corpus,
+not just the driver's (so far) clean one — the r2 driver red cell
+(`extract_markdown_roundtrip` hash flake) was only possible because the
+oracle silently depended on the corpus avoiding the kernel's
+Python-only steps. This test freezes the structural-guard contract:
+every kernel trigger (/uniXXXX, mojibake leads, invisibles, U+FFFD,
+unicode whitespace, DOM chars, python-isspace-only controls) mixed
+into the text must leave the Spark result and the DuckDB oracle
+byte-identical. It already caught one real bug (guarded image-offset
+order inversion)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+Z = chr
+NASTY = [
+    "/uni0416", "/uni00e9", "/unizzzz",
+    "caf" + Z(0xE9),
+    Z(0xC2) + " mix",                     # mojibake lead LO
+    Z(0xC3) + Z(0xA9) + "coded",          # mojibake pair
+    Z(0xFFFD) + "rep",                    # replacement char
+    "zero" + Z(0x200B) + "width",         # ZWSP (invisible)
+    "nb" + Z(0xA0) + "sp",                # NBSP
+    "line" + Z(0x2028) + "sep",           # LINE SEPARATOR
+    "para" + Z(0x2029) + "sep",           # PARA SEPARATOR
+    "nel" + Z(0x85) + "char",             # NEL
+    "ideo" + Z(0x3000) + "sp",            # ideographic space
+    "<tag>", "&amp;", "&notent", "a<b", "x&y",
+    Z(0x1C) + "fs", Z(0x1F) + "us",       # python-isspace-only ctrls
+    "plain", "words", "here", "and", "more", "text", "ok",
+    Z(0xF4) + "lead",                     # mojibake lead HI
+    Z(0xE2) + Z(0x80) + Z(0x99),          # curly-quote mojibake
+    "mid/unidle", "/uni", "end/",
+    "tab" + Z(9) + "here", "feed" + Z(12) + "ff",
+    "bom" + Z(0xFEFF) + "x",
+    Z(0x200B), Z(0x2007), Z(0xFFFD),      # whole-word invisibles
+]
+
+QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
+           "extract_pipeline"]
+
+
+@pytest.fixture(scope="module")
+def dirty_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path_factory.mktemp("dirty_sf")
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        words = [rng.choice(NASTY) for _ in range(rng.randint(0, 40))]
+        text = " ".join(words)
+        rows.append((i, text, "en", "dirty", len(text)))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array([r[2] for r in rows]),
+        "source": pa.array([r[3] for r in rows]),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", QUERIES)
+def test_extraction_oracle_on_dirty_corpus(spark, dirty_sf, qname):
+    import __spark_entry__ as entry
+    from tools.check_contract import table_hash
+
+    sdf = entry.queries()[qname](spark, dirty_sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{dirty_sf}/documents.parquet')")
+    orel = con.sql(entry.oracle_sql()[qname])
+    ocols, orows = list(orel.columns), orel.fetchall()
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
