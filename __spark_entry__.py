@@ -522,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
         _tbl(spark, sf, "documents"))
+    # observability for the skew cap: what did max_df prune?
+    q["dedup_ngram_pruned"] = lambda spark, sf: dd.ngram_pruned_stats(
+        _tbl(spark, sf, "documents"))
     q["dedup_minhash_lsh"] = lambda spark, sf: dd.minhash_lsh_pairs(
         _tbl(spark, sf, "documents"))
     def dedup_simhash(spark, sf):
@@ -1172,16 +1175,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
           WITH {_SH_CTE},
+          rare AS (SELECT sh FROM sh GROUP BY sh
+                   HAVING count(*) <= {dd.NGRAM_MAX_DF}),
+          ps AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
           cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                   FROM sh a JOIN sh b
+                   FROM ps a JOIN ps b
                    ON a.sh = b.sh AND a.doc_id < b.doc_id),
           {jaccard_tail}
+        """,
+        "dedup_ngram_pruned": f"""
+          WITH {_SH_CTE},
+          dft AS (SELECT sh, count(*)::bigint AS df FROM sh GROUP BY sh)
+          SELECT count(*)::bigint AS n_shingles,
+                 coalesce(sum(CASE WHEN df > {dd.NGRAM_MAX_DF}
+                                   THEN 1 ELSE 0 END), 0)::bigint
+                 AS n_pruned,
+                 coalesce(sum(CASE WHEN df > {dd.NGRAM_MAX_DF}
+                                   THEN df ELSE 0 END), 0)::bigint
+                 AS pruned_occurrences,
+                 max(df)::bigint AS max_df_seen
+          FROM dft
         """,
         "dedup_minhash_lsh": _minhash_oracle(jaccard_tail),
         "dedup_cluster_components": f"""
           WITH RECURSIVE {_SH_CTE},
+          rare AS (SELECT sh FROM sh GROUP BY sh
+                   HAVING count(*) <= {dd.NGRAM_MAX_DF}),
+          ps AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
           cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                   FROM sh a JOIN sh b
+                   FROM ps a JOIN ps b
                    ON a.sh = b.sh AND a.doc_id < b.doc_id),
           inter AS (SELECT c.ida, c.idb, count(*)::bigint AS i
                     FROM cand c

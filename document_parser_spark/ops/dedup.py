@@ -48,6 +48,14 @@ def minhash_params(hashers: int = MINHASH_HASHERS) -> list[tuple[int, int]]:
              int(rng.randint(0, MINHASH_PRIME)))
             for _ in range(hashers)]
 JACCARD_THRESHOLD = 0.25
+# Skew-safety default for the shared-shingle self-join (r2 VERDICT #5):
+# a shingle present in D docs creates D^2/2 candidate rows on one
+# shuffle key, so an uncapped run is quadratic on any stopword shingle
+# at corpus scale. Pairs that share ONLY >max_df shingles are the
+# (deliberate) recall cost; ngram_pruned_stats tallies what the cap
+# dropped so the trade-off is observable, and the DuckDB oracles apply
+# the same cap.
+NGRAM_MAX_DF = 1000
 SIMHASH_BITS = 60
 NEARDUP_COSINE = 0.45
 SIGN_LSH_DIMS = (3, 11, 19, 27, 35, 43, 51, 59)
@@ -135,12 +143,15 @@ def _jaccard_from_candidates(sh: DataFrame, cand: DataFrame,
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
                         threshold: float = JACCARD_THRESHOLD,
-                        max_df: int | None = None,
+                        max_df: int | None = NGRAM_MAX_DF,
                         reuse_shingles: bool = True) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold via shared-shingle
     candidate join. ``max_df`` drops shingles appearing in more than
-    that many docs before pairing (the 100 TB knob: a stopword shingle
-    would otherwise create a quadratic hot key — classic skew).
+    that many docs before pairing — ON by default (NGRAM_MAX_DF): a
+    stopword shingle would otherwise create a quadratic hot key, so
+    skew-safe must be the default at 100x scale, not an option
+    (r2 VERDICT #5). Pass ``max_df=None`` for the exact unbounded
+    self-join; ``ngram_pruned_stats`` reports what the cap pruned.
 
     The shingle relation feeds four operators (both candidate sides,
     the verification join, the size table); ``reuse_shingles``
@@ -156,6 +167,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     # hash the shingles BEFORE persisting: joins shuffle 8-byte longs
     # (oracle computes the identical hash — compare stays exact)
     sh = hashed_shingles(shingles(docs, n))
+    if max_df is not None:
+        # attach each shingle's document frequency to the relation
+        # BEFORE persisting: one extra shuffle at build time buys the
+        # rare/common split (and the skew decision itself) as pure
+        # filters over the cached relation — no joins downstream
+        df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh = sh.join(df_tbl, "sh")
     if reuse_shingles:
         # persist AND materialize eagerly: the consumers (both join
         # sides, the size table) sit in INDEPENDENT stages that the
@@ -188,19 +206,72 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
                             .cast("double"), 3).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    # rare-shingle candidates, verified against the FULL shingle set
-    rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df).select("sh"))
-    pair_src = sh.join(rare, "sh")
-    cand = (
+    # Capped path. rare/common PARTITION the shingle space by df, so
+    # the full intersection decomposes: i = i_rare + i_common.
+    #   * i_rare: the rare-shingle self-join's groupBy count directly —
+    #     no separate candidate DISTINCT, no re-join against the full
+    #     shingle relation (both were measured overhead of the first
+    #     formulation). 'rare' is a pure filter on the df-annotated
+    #     cached relation.
+    #   * i_common: candidate pairs joined against ONLY the common-
+    #     shingle occurrences (df > max_df — stopword shingles; also a
+    #     pure filter).
+    # Pairs sharing ZERO rare shingles are the documented recall cost.
+    pair_src = sh.filter(F.col("df") <= max_df).select("doc_id", "sh")
+    sh_c = sh.filter(F.col("df") > max_df).select("doc_id", "sh")
+    inter_rare = (
         pair_src.alias("a")
         .join(pair_src.alias("b"), "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("ida"),
-                F.col("b.doc_id").alias("idb"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("ida"),
+                 F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").cast("long").alias("ir"))
     )
-    return _jaccard_from_candidates(sh, cand, threshold)
+    inter_common = (
+        inter_rare.select("ida", "idb")
+        .join(sh_c.select(F.col("doc_id").alias("ida"), "sh"), "ida")
+        .join(sh_c.select(F.col("doc_id").alias("idb"), "sh"),
+              ["idb", "sh"])
+        .groupBy("ida", "idb").agg(F.count("*").cast("long").alias("ic"))
+    )
+    inter = (
+        inter_rare.join(inter_common, ["ida", "idb"], "left")
+        .select("ida", "idb",
+                (F.col("ir") + F.coalesce("ic", F.lit(0))).alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("ida"),
+                           F.col("n").alias("na")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"),
+                           F.col("n").alias("nb")), "idb")
+        .select("ida", "idb",
+                F.round(F.col("i").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("i"))
+                        .cast("double"), 3).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_pruned_stats(docs: DataFrame, n: int = SHINGLE_N,
+                       max_df: int = NGRAM_MAX_DF) -> DataFrame:
+    """The observability half of the ``max_df`` cap: one row tallying
+    what candidate generation pruned — distinct shingles total, pruned
+    shingles (df > max_df), the occurrence mass they carried, and the
+    hottest shingle's document frequency (the quadratic key the cap
+    neutralized). Pure aggregation over the shingle relation; no
+    joins."""
+    df_tbl = (hashed_shingles(shingles(docs, n))
+              .groupBy("sh").agg(F.count("*").cast("long").alias("df")))
+    pruned = F.col("df") > max_df
+    return df_tbl.agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(pruned.cast("long")).cast("long").alias("n_pruned"),
+        F.coalesce(F.sum(F.when(pruned, F.col("df"))), F.lit(0))
+        .cast("long").alias("pruned_occurrences"),
+        F.max("df").cast("long").alias("max_df_seen"),
+    )
 
 
 def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N,

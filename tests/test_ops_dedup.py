@@ -49,6 +49,43 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_max_df_cap_semantics(spark):
+    """With the skew cap binding, pairs sharing ONLY over-cap shingles
+    disappear while pairs that also share a rare shingle survive with
+    their FULL-set Jaccard (verification is uncapped)."""
+    common = "alpha beta gamma"                   # shingle in every doc
+    rows = [(1, common + " one extra words here"),
+            (2, common + " one extra words there"),
+            (3, common + " totally different tail text"),
+            (4, common + " nothing shared beyond stopword run")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unbounded = {(r.ida, r.idb): r.jaccard for r in dd.ngram_jaccard_pairs(
+        docs, threshold=0.01, max_df=None).collect()}
+    capped = {(r.ida, r.idb): r.jaccard for r in dd.ngram_jaccard_pairs(
+        docs, threshold=0.01, max_df=3).collect()}
+    # 'alpha beta gamma' has df=4 > 3 -> pruned from candidate gen;
+    # docs sharing only it lose their pair
+    assert (3, 4) in unbounded and (3, 4) not in capped
+    # 1-2 share rare shingles too -> pair survives, jaccard computed on
+    # the FULL shingle sets (identical to the unbounded value)
+    assert capped[(1, 2)] == unbounded[(1, 2)]
+    stats = dd.ngram_pruned_stats(docs, max_df=3).collect()[0]
+    assert stats.n_pruned == 1 and stats.pruned_occurrences == 4
+    assert stats.max_df_seen == 4
+
+
+def test_shingle_cache_released_by_clearcache(spark, docs):
+    """The shingle persists are session-bounded: one cache entry per
+    canonical plan while a query family runs, and clearCache (bench.py
+    applies it between queries) must release every block."""
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    dd.ngram_jaccard_pairs(docs).count()
+    assert sc.getPersistentRDDs().size() >= 1
+    spark.catalog.clearCache()
+    assert sc.getPersistentRDDs().size() == 0
+
+
 def test_minhash_lsh_subset_of_exact(docs):
     exact = {(r.ida, r.idb) for r in
              dd.ngram_jaccard_pairs(docs, threshold=0.25).collect()}
