@@ -678,6 +678,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "markdown")
     q["extract_pipeline"] = pipeline
 
+    def referenced_images(spark, sf):
+        """REFERENCED image mode end-to-end (abc/abc.py:27
+        include_image_in_output): markdown embeds ``![](media_ref)``
+        instead of the placeholder comment; plus the artifacts-manifest
+        count folded in as a per-doc column (the Spark analogue of
+        Docling's artifacts dir — serialize.artifacts_manifest)."""
+        _ensure_pkg(spark)
+        from document_parser_spark.operators.serialize import (
+            artifacts_manifest,
+        )
+        out = extract(_span_docs_guarded(_tbl(spark, sf, "documents")),
+                      image_mode="referenced")
+        man = (artifacts_manifest(out)
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_artifacts")))
+        return (out.join(man, "doc_id", "left")
+                .select("doc_id", "status",
+                        F.size("spans").cast("long").alias("n_spans"),
+                        "markdown",
+                        F.coalesce("n_artifacts", F.lit(0)).cast("long")
+                        .alias("n_artifacts")))
+    q["extract_referenced_images"] = referenced_images
+
     def vlm_roundtrip(spark, sf):
         """The VLM whole-doc PDF branch (pdf_parser_vlm.py contract:
         verbatim text, page blocks joined by newline, page-break spans,
@@ -817,7 +840,8 @@ def _rolling_fp_oracle(window: int = 8) -> str:
     """
 
 
-def _extract_oracle(which: str) -> str:
+def _extract_oracle(which: str,
+                    img_md: str = "'<!-- image -->'") -> str:
     """DuckDB reconstruction of the guarded extraction pipeline —
     ``which`` in {'md', 'html', 'both'}. ONE generator feeds the two
     family roundtrips AND the composed ``extract_pipeline`` oracle so
@@ -850,7 +874,7 @@ def _extract_oracle(which: str) -> str:
       mblocks AS (
         SELECT doc_id, i AS ord, ch AS md FROM mkept
         UNION ALL
-        SELECT doc_id, 2147483647 AS ord, '<!-- image -->' AS md
+        SELECT doc_id, 2147483647 AS ord, {img_md} AS md
         FROM ms WHERE doc_id % 3 = 0),
       magg AS (SELECT doc_id, count(*)::bigint AS n_spans,
                       string_agg(md, chr(10) || chr(10) ORDER BY ord)
@@ -870,7 +894,7 @@ def _extract_oracle(which: str) -> str:
     html_ctes = f"""
       hs AS (SELECT doc_id, {_collapse_sql(hclean)} AS body
              FROM documents WHERE doc_id % 5 = 0)"""
-    html_sel = """
+    html_sel = f"""
       SELECT doc_id::varchar AS doc_id, 'ok' AS status,
              ((CASE WHEN body <> '' THEN 2 ELSE 1 END)
               + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END))::bigint
@@ -879,7 +903,7 @@ def _extract_oracle(which: str) -> str:
              || CASE WHEN body <> ''
                      THEN chr(10) || chr(10) || body ELSE '' END
              || CASE WHEN doc_id % 3 = 0
-                     THEN chr(10) || chr(10) || '<!-- image -->'
+                     THEN chr(10) || chr(10) || {img_md}
                      ELSE '' END
              AS markdown
       FROM hs"""
@@ -1127,6 +1151,14 @@ def oracle_sql() -> dict[str, str]:
         "text_rolling_fingerprints": _rolling_fp_oracle(),
         "extract_html_roundtrip": _extract_oracle("html"),
         "extract_pipeline": _extract_oracle("both"),
+        "extract_referenced_images": f"""
+          SELECT doc_id, status, n_spans, markdown,
+                 (CASE WHEN doc_id::bigint % 3 = 0
+                       THEN 1 ELSE 0 END)::bigint AS n_artifacts
+          FROM ({_extract_oracle(
+              "both",
+              img_md="'![](img://' || doc_id::varchar || ')'")})
+        """,
         "pdf_vlm_roundtrip": """
           WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
                      FROM documents),

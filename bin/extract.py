@@ -80,6 +80,17 @@ def main(argv: list[str] | None = None) -> int:
     done = lin.run_with_lineage(
         spark, result, args.output, n_partitions=args.partitions,
         input_files=[args.input])
+    n_artifacts = None
+    if args.image_mode == "referenced":
+        # artifacts-dir analogue: write the media manifest beside the
+        # markdown output (sibling dir — the lineage glob owns --output)
+        from document_parser_spark.operators.serialize import (
+            artifacts_manifest,
+        )
+        manifest = artifacts_manifest(lin.read_output(spark, args.output))
+        mpath = args.output.rstrip("/") + "_artifacts"
+        manifest.write.mode("overwrite").parquet(mpath)
+        n_artifacts = spark.read.parquet(mpath).count()
     wall = time.time() - t0
 
     n_docs = lin.read_output(spark, args.output).count()
@@ -91,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
         "wall_s": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
     }
+    if n_artifacts is not None:
+        summary["artifacts"] = n_artifacts
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -123,3 +123,25 @@ def make_serialize_udf(image_mode: str = IMAGE_MODE_PLACEHOLDER):
         return serialize_batch(spans, image_mode)
 
     return serialize_markdown_udf
+
+
+def artifacts_manifest(docs):
+    """REFERENCED mode's artifacts-dir analogue (reference:
+    abc/abc.py:27-28 — Docling saves image files next to the markdown).
+    A distributed job cannot drop files 'next to' each row, so the
+    Spark-shaped contract is a MANIFEST relation: one row per image
+    span of the extracted output, carrying the source ``media_ref`` and
+    the deterministic ``artifact_path`` the markdown's ``![](...)``
+    links resolve against once a downstream copier materializes the
+    binaries. Pure narrow ops over the output spans — no shuffle."""
+    from pyspark.sql import functions as F
+
+    sp = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter((F.col("s.kind") == "image") & (F.col("s.media_ref") != ""))
+    return sp.select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.concat(F.lit("artifacts/"), F.col("doc_id"), F.lit("/"),
+                 F.col("s.offset").cast("string")).alias("artifact_path"),
+    )

@@ -41,7 +41,7 @@ NASTY = [
 ]
 
 QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
-           "extract_pipeline"]
+           "extract_pipeline", "extract_referenced_images"]
 
 
 @pytest.fixture(scope="module")
