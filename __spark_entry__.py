@@ -548,6 +548,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.connected_components(pairs)
     q["dedup_cluster_components"] = dedup_clusters
 
+    def shard_pack(spark, sf):
+        """Token-budget sharding (training-export packer): exact
+        distributed prefix sum over range-bucketed hash order
+        (ops/packing.py). The oracle computes the same assignment with
+        ONE global window — validating that the two-level decomposition
+        equals the global scan."""
+        from document_parser_spark.ops.packing import shard_assign
+        docs = _tbl(spark, sf, "documents").select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        return (shard_assign(docs, shard_tokens=4096, buckets=64)
+                .select(F.col("doc_id").cast("string").alias("doc_id"),
+                        "h", "shard_id", "shard_pos"))
+    q["shard_token_budget"] = shard_pack
+
     # ---- sampling / decontamination -------------------------------------
     def _kept_sig(kept):
         return kept.groupBy("source").agg(
@@ -1214,6 +1229,21 @@ def oracle_sql() -> dict[str, str]:
                    FROM ps a JOIN ps b
                    ON a.sh = b.sh AND a.doc_id < b.doc_id),
           {jaccard_tail}
+        """,
+        "shard_token_budget": """
+          WITH d AS (SELECT doc_id::varchar AS doc_id,
+                            len(string_split(text, ' '))::bigint AS tok,
+                            ('0x' || substr(md5(doc_id::varchar), 1, 15))
+                            ::bigint AS h
+                     FROM documents),
+          s AS (SELECT doc_id, h,
+                       (sum(tok) OVER (ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) - tok)
+                       AS start
+                FROM d)
+          SELECT doc_id, h, (start // 4096)::bigint AS shard_id,
+                 (start % 4096)::bigint AS shard_pos
+          FROM s
         """,
         "dedup_ngram_pruned": f"""
           WITH {_SH_CTE},
