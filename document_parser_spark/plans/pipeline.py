@@ -31,9 +31,11 @@ from document_parser_spark.config import (
     STATUS_PARSE_FAILURE,
 )
 from document_parser_spark.functions.cleaning import (
+    clean_text_column,
     make_clean_udf,
     make_docx_clean_udf,
     make_table_clean_udf,
+    needs_python_column,
 )
 from document_parser_spark.operators.html_parse import html_branch
 from document_parser_spark.operators.pdf_parse import pdf_branch
@@ -76,19 +78,37 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
     def _non_blank(col: str) -> F.Column:
         return F.length(F.translate(col, PY_WHITESPACE, "")) > 0
 
-    text_rows = (
-        exploded.filter(F.col("kind") == "text")
-        .withColumn("_clean", clean_udf("text"))
-        .filter(F.col("_clean").isNotNull() & _non_blank("_clean"))
-        .select(
-            "doc_id",
-            F.col("offset").alias("ord0"),
-            F.lit(0).alias("ord1"),
-            F.lit("text").alias("kind"),
-            F.col("_clean").alias("text"),
-            F.lit("").alias("media_ref"),
+    def _text_shape(clean_col: F.Column, src: DataFrame) -> DataFrame:
+        return (
+            src.withColumn("_clean", clean_col)
+            .filter(F.col("_clean").isNotNull() & _non_blank("_clean"))
+            .select(
+                "doc_id",
+                F.col("offset").alias("ord0"),
+                F.lit(0).alias("ord1"),
+                F.lit("text").alias("kind"),
+                F.col("_clean").alias("text"),
+                F.lit("").alias("media_ref"),
+            )
         )
-    )
+
+    # The clean kernel's Python-only steps (/uniXXXX unescape, mojibake
+    # re-decode) are no-ops unless their trigger pattern is present
+    # (needs_python_column), so the overwhelming clean majority runs
+    # the EXACT same transform as the JVM translate chain and never
+    # leaves whole-stage codegen; only flagged rows cross into the
+    # pandas kernel. A F.when() over the UDF would NOT give this —
+    # Spark extracts pandas UDFs into their own projection and
+    # evaluates them for every row regardless of the branch — hence
+    # the filter/filter/union split. The fork duplicates only the
+    # scan+explode subtree (columnar, no UDF upstream), which is noise
+    # next to removing the Arrow crossing for ~99% of rows.
+    text_src = exploded.filter(F.col("kind") == "text")
+    is_py = needs_python_column(F.col("text"))
+    text_rows = _text_shape(
+        clean_text_column(F.col("text")), text_src.filter(~is_py)
+    ).unionByName(_text_shape(clean_udf("text"),
+                              text_src.filter(is_py)))
 
     # DocParser path (docx_parser.py:43-49): text items NFC->clean->fix;
     # table cells clean ONLY (the reference's to_utf8 asymmetry). Generic
