@@ -97,19 +97,27 @@ def lang_id(docs: DataFrame) -> DataFrame:
         return (F.regexp_count(padded, F.lit(pat)).cast("double")
                 / F.greatest(n_words, F.lit(1)).cast("double"))
 
-    ratios = {lang: ratio(stops) for lang, stops in STOPWORDS.items()}
+    order = ("en", "de", "fr", "es")
+    # Materialize the four regex ratios ONCE per row behind a Generate
+    # barrier (inline of a 1-element struct array): the nested argmax
+    # CASE chain references each ratio several times, CollapseProject
+    # would inline the regexp_count back into every reference, and
+    # codegen subexpression elimination skips conditionally-evaluated
+    # branches — measured as the whole cost of this operator.
+    r_struct = F.struct(*[ratio(STOPWORDS[lang]).alias(f"r_{lang}")
+                          for lang in order])
+    d = docs.select("doc_id", F.inline(F.array(r_struct)))
     # fixed evaluation order = deterministic argmax (strict > keeps the
     # earlier language on ties — same CASE chain in the SQL oracle)
-    order = ("en", "de", "fr", "es")
-    best_ratio = ratios[order[0]]
+    best_ratio = F.col(f"r_{order[0]}")
     best_lang = F.lit(order[0])
     for lang in order[1:]:
-        cond = ratios[lang] > best_ratio
+        cond = F.col(f"r_{lang}") > best_ratio
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_ratio = F.when(cond, ratios[lang]).otherwise(best_ratio)
+        best_ratio = F.when(cond, F.col(f"r_{lang}")).otherwise(best_ratio)
     guess = F.when(best_ratio >= F.lit(EN_STOP_RATIO_MIN), best_lang) \
              .otherwise(F.lit("unk"))
-    return docs.select(
+    return d.select(
         "doc_id",
         guess.alias("lang_guess"),
         F.round(best_ratio, 3).alias("lang_score"),
