@@ -135,6 +135,30 @@ def stream_dedup_first_seen(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def windowed_event_counts(events: DataFrame, window_minutes: int = 10,
+                          watermark_minutes: int = 5) -> DataFrame:
+    """Tumbling event-time window counts with a watermark — the
+    canonical late-data-tolerant streaming aggregation. In append mode
+    a window row is emitted exactly once, when the watermark passes
+    the window end; events arriving later than the watermark are
+    DROPPED by the state store (never double-counted, never reopening
+    a finalized window). Works identically on a static frame (minus
+    the late-drop, which only exists in a stream).
+
+    -> (user_id, window_start, window_end, n_events)
+    """
+    return (
+        events
+        .withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy("user_id", F.window("ts", f"{window_minutes} minutes"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select("user_id",
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n_events")
+    )
+
+
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Event-time session windows with a watermark — the streaming
     form of the W3 lag-boundary query (works on a static frame too:

@@ -14,7 +14,62 @@ from document_parser_spark.sources.synth import fixtures_dataframe
 from document_parser_spark.streaming.stream import (
     sessionize_events,
     stream_extract,
+    windowed_event_counts,
 )
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode tumbling-window agg over a two-micro-batch file
+    stream: batch 1 advances the watermark past window W1's end (W1 is
+    finalized and emitted once); batch 2 delivers an event inside W1
+    but behind the watermark — it must be DROPPED, not re-open the
+    window."""
+    import time as _time
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    schema = "user_id string, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / name))
+        # move the single part file into the source dir with ordered
+        # mtimes (file source processes oldest-first)
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    from datetime import datetime
+    t = lambda m: datetime(2026, 1, 1, 10, m)
+
+    def drain():
+        events = spark.readStream.schema(schema).parquet(str(src))
+        out = windowed_event_counts(events, window_minutes=10,
+                                    watermark_minutes=5)
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", str(tmp_path / "events_out"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: three W1 events + one at 10:59 -> watermark 10:54,
+    # past W1's end (10:10) -> W1 finalized and emitted
+    write_file("a", [("u", t(0)), ("u", t(3)), ("u", t(5)),
+                     ("u", t(59))])
+    drain()
+    # batch 2 (same checkpoint — watermark persisted): an event inside
+    # W1 but behind the watermark
+    write_file("b", [("u", t(3))])
+    drain()
+
+    got = {(r.window_start.minute, r.n_events)
+           for r in spark.read.parquet(
+               str(tmp_path / "events_out")).collect()}
+    # W1 (10:00-10:10) emitted once with batch-1's three events; the
+    # late batch-2 event neither re-emits nor inflates it. The 10:50
+    # window stays open (watermark never passes 11:00) -> absent.
+    assert got == {(0, 3)}
 
 
 def test_stream_extract_matches_batch(spark, tmp_path):
