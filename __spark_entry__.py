@@ -123,6 +123,53 @@ sh AS (SELECT doc_id,
 """
 
 
+def _pii_redact_sql(expr: str = "text") -> str:
+    """DuckDB chain mirroring ops/textstats.redact_pii — generated
+    from the same PII_PATTERNS constant, same order."""
+    for _name, pat, token in ts.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+def _pii_count_sql(expr: str = "text") -> str:
+    return ", ".join(
+        f"len(regexp_extract_all({expr}, '{pat}'))::bigint AS n_{name}"
+        for name, pat, _ in ts.PII_PATTERNS)
+
+
+def _cluster_ctes() -> str:
+    """Shared CTE chain for the near-dup cluster oracles: capped
+    candidate generation (NGRAM_MAX_DF, mirroring the Spark default) ->
+    full-set Jaccard verification -> symmetrized edges -> recursive
+    reachability closure. Used by both dedup_cluster_components and
+    dedup_survivors so the two can never drift."""
+    return f"""{_SH_CTE},
+          rare AS (SELECT sh FROM sh GROUP BY sh
+                   HAVING count(*) <= {dd.NGRAM_MAX_DF}),
+          ps AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+          cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                   FROM ps a JOIN ps b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          inter AS (SELECT c.ida, c.idb, count(*)::bigint AS i
+                    FROM cand c
+                    JOIN sh x ON x.doc_id = c.ida
+                    JOIN sh y ON y.doc_id = c.idb AND y.sh = x.sh
+                    GROUP BY 1, 2),
+          nn AS (SELECT doc_id, count(*)::bigint AS n FROM sh GROUP BY 1),
+          pairs AS (SELECT i2.ida, i2.idb
+                    FROM inter i2
+                    JOIN nn na ON i2.ida = na.doc_id
+                    JOIN nn nb ON i2.idb = nb.doc_id
+                    WHERE round(i2.i * 1.0 / (na.n + nb.n - i2.i), 3)
+                          >= {dd.JACCARD_THRESHOLD}),
+          e AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+          reach AS (SELECT src, dst FROM e
+                    UNION
+                    SELECT r.src, e2.dst
+                    FROM reach r JOIN e e2 ON r.dst = e2.src)"""
+
+
 # --- structural-guard helpers (r2 VERDICT: the extraction oracles must
 # not depend on the corpus happening to avoid the kernel's Python-only
 # steps; both sides now share generated predicates/sanitizers) ---------------
@@ -547,6 +594,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dd.ngram_jaccard_pairs(_tbl(spark, sf, "documents"))
         return dd.connected_components(pairs)
     q["dedup_cluster_components"] = dedup_clusters
+
+    def dedup_surv(spark, sf):
+        """Survivor selection (the step real dedup pipelines ship):
+        corpus left-anti non-representative cluster members."""
+        docs = _tbl(spark, sf, "documents")
+        pairs = dd.ngram_jaccard_pairs(docs)
+        return dd.dedup_survivors(docs.select("doc_id"), pairs)
+    q["dedup_survivors"] = dedup_surv
+
+    def pii_redact(spark, sf):
+        """PII scrub (email / IP / phone) over text with DETERMINISTIC
+        planted PII derived from doc_id, so the redaction provably
+        fires on every row; counts include natural hits too. Pure
+        codegen chain (ops/textstats.redact_pii); oracle runs the
+        identical patterns in DuckDB."""
+        docs = _tbl(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                "text", F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-010-"),
+                F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"),
+                       4, "0"),
+                F.lit(" at 10.0."),
+                F.pmod("doc_id", F.lit(256)).cast("string"),
+                F.lit(".7")).alias("text"))
+        return ts.redact_pii(docs).select(
+            "doc_id", F.md5("redacted").alias("red_sig"),
+            "n_email", "n_ip", "n_phone")
+    q["text_redact_pii"] = pii_redact
 
     def shard_pack(spark, sf):
         """Token-budget sharding (training-export packer): exact
@@ -1230,6 +1307,18 @@ def oracle_sql() -> dict[str, str]:
                    ON a.sh = b.sh AND a.doc_id < b.doc_id),
           {jaccard_tail}
         """,
+        "text_redact_pii": f"""
+          WITH d AS (SELECT doc_id,
+                            text || ' contact user' || doc_id::varchar
+                            || '@example.com or +1 555-010-'
+                            || lpad((doc_id % 10000)::varchar, 4, '0')
+                            || ' at 10.0.' || (doc_id % 256)::varchar
+                            || '.7' AS text
+                     FROM documents)
+          SELECT doc_id, md5({_pii_redact_sql()}) AS red_sig,
+                 {_pii_count_sql()}
+          FROM d
+        """,
         "shard_token_budget": """
           WITH d AS (SELECT doc_id::varchar AS doc_id,
                             len(string_split(text, ' '))::bigint AS tok,
@@ -1260,33 +1349,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(jaccard_tail),
         "dedup_cluster_components": f"""
-          WITH RECURSIVE {_SH_CTE},
-          rare AS (SELECT sh FROM sh GROUP BY sh
-                   HAVING count(*) <= {dd.NGRAM_MAX_DF}),
-          ps AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-          cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                   FROM ps a JOIN ps b
-                   ON a.sh = b.sh AND a.doc_id < b.doc_id),
-          inter AS (SELECT c.ida, c.idb, count(*)::bigint AS i
-                    FROM cand c
-                    JOIN sh x ON x.doc_id = c.ida
-                    JOIN sh y ON y.doc_id = c.idb AND y.sh = x.sh
-                    GROUP BY 1, 2),
-          nn AS (SELECT doc_id, count(*)::bigint AS n FROM sh GROUP BY 1),
-          pairs AS (SELECT i2.ida, i2.idb
-                    FROM inter i2
-                    JOIN nn na ON i2.ida = na.doc_id
-                    JOIN nn nb ON i2.idb = nb.doc_id
-                    WHERE round(i2.i * 1.0 / (na.n + nb.n - i2.i), 3)
-                          >= {dd.JACCARD_THRESHOLD}),
-          e AS (SELECT ida AS src, idb AS dst FROM pairs
-                UNION SELECT idb, ida FROM pairs),
-          reach AS (SELECT src, dst FROM e
-                    UNION
-                    SELECT r.src, e2.dst
-                    FROM reach r JOIN e e2 ON r.dst = e2.src)
+          WITH RECURSIVE {_cluster_ctes()}
           SELECT src AS doc_id, least(src, min(dst)) AS rep
           FROM reach GROUP BY src
+        """,
+        "dedup_survivors": f"""
+          WITH RECURSIVE {_cluster_ctes()},
+          comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+                   FROM reach GROUP BY src)
+          SELECT d.doc_id FROM documents d
+          WHERE d.doc_id NOT IN
+                (SELECT doc_id FROM comp WHERE doc_id <> rep)
         """,
         "dedup_simhash": f"""
           WITH {_E_CTE},

@@ -124,6 +124,40 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII scrub patterns, ordered (applied as a chain; counts on the raw
+# text). Written in the common subset of Java regex and RE2 so the
+# DuckDB oracle can run the identical patterns.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    # ip BEFORE phone: the phone char class ([0-9() .-]) would
+    # otherwise swallow dotted quads
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+    ("phone", r"[+(]?[0-9][0-9() .-]{7,14}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic PII scrubbing — the redaction pass every
+    web-scale training corpus runs before export. Pure codegen
+    (regexp_replace / regexp_count chain, no Python); each pattern's
+    hit count is reported per doc so downstream filters can drop
+    PII-dense documents instead of just masking them.
+
+    -> (doc_id, redacted, n_email, n_phone, n_ip)
+    """
+    red = F.col(text_col)
+    for _name, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        *[F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+          .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS],
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Whole-document fingerprint: md5 of whitespace-normalized,
     lowercased text. The exact-dedup key."""

@@ -60,3 +60,25 @@ def test_rolling_fingerprints_shift_invariant(spark):
     # every window fully inside the shared suffix must hash identically
     assert set(fps[1]) <= set(fps[2])
     assert len(fps[1]) == 10 - 4 + 1
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "call +1 555-010-0042 or (02) 9999 8888 today"),
+        (3, "server at 10.0.123.7 responded"),
+        (4, "clean text with no identifiers at all"),
+        (5, "a@b.co and 192.168.1.100 and +44 20 7946 0958"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ts.redact_pii(docs).collect()}
+    assert got[1].redacted == "mail <EMAIL> now"
+    assert got[1].n_email == 1 and got[1].n_phone == 0
+    assert got[2].redacted == "call <PHONE> or <PHONE> today"
+    assert got[2].n_phone == 2
+    # ip runs before phone: the dotted quad must NOT become <PHONE>
+    assert got[3].redacted == "server at <IP> responded"
+    assert got[3].n_ip == 1 and got[3].n_phone >= 1  # raw-count overlap ok
+    assert got[4].redacted == rows[3][1]
+    assert got[4].n_email == got[4].n_ip == got[4].n_phone == 0
+    assert got[5].redacted == "<EMAIL> and <IP> and <PHONE>"
