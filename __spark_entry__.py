@@ -123,6 +123,16 @@ sh AS (SELECT doc_id,
 """
 
 
+def _norm_ws_lower_sql(expr: str = "text") -> str:
+    """DuckDB mirror of cleaning.norm_ws_lower_column — generated from
+    PY_WHITESPACE (engine-native trim()s disagree on unicode
+    whitespace, so both sides spell the chain out explicitly)."""
+    ws = "||".join(f"chr({ord(c)})" for c in PY_WHITESPACE)
+    n = len(PY_WHITESPACE)
+    return (f"lower(trim(regexp_replace(translate({expr}, {ws}, "
+            f"repeat(' ', {n})), ' +', ' ', 'g')))")
+
+
 def _pii_redact_sql(expr: str = "text") -> str:
     """DuckDB chain mirroring ops/textstats.redact_pii — generated
     from the same PII_PATTERNS constant, same order."""
@@ -1280,15 +1290,12 @@ def oracle_sql() -> dict[str, str]:
           FROM s WHERE doc_id NOT IN (SELECT doc_id FROM agg)
         """,
         "extract_markdown_roundtrip": _extract_oracle("md"),
-        "text_fingerprint": r"""
-          SELECT doc_id,
-                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-                 AS fp
+        "text_fingerprint": f"""
+          SELECT doc_id, md5({_norm_ws_lower_sql()}) AS fp
           FROM documents
         """,
-        "dedup_exact": r"""
-          WITH g AS (SELECT md5(lower(regexp_replace(trim(text),
-                         '\s+', ' ', 'g'))) AS fp,
+        "dedup_exact": f"""
+          WITH g AS (SELECT md5({_norm_ws_lower_sql()}) AS fp,
                      count(*)::bigint AS n
                      FROM documents GROUP BY 1)
           SELECT sum(n)::bigint AS n_docs,

@@ -141,6 +141,22 @@ def collapse_series(s: pd.Series) -> pd.Series:
     return s.str.split().str.join(" ")
 
 
+def norm_ws_lower_column(col):
+    """Whitespace-normalized lowercased text — the exact-dedup /
+    fingerprint key. Python-strip whitespace semantics via the shared
+    PY_WHITESPACE set: every whitespace char becomes a space, runs
+    collapse, ends trim, then lowercase — all codegen, and every step
+    has a literal DuckDB mirror (engine-native trim()s disagree on
+    unicode whitespace: DuckDB strips U+2007, Java/Spark does not —
+    caught by the adversarial-corpus oracle tests)."""
+    from pyspark.sql import functions as F
+
+    from document_parser_spark.config import PY_WHITESPACE
+
+    spaced = F.translate(col, PY_WHITESPACE, " " * len(PY_WHITESPACE))
+    return F.lower(F.trim(F.regexp_replace(spaced, " +", " ")))
+
+
 def clean_text_column(col):
     """JVM-only F5+F6: stays inside whole-stage codegen. Does NOT cover
     /uniXXXX or mojibake — pair with `needs_python_column` when unsure."""

@@ -67,7 +67,10 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     -> (fp, n_copies, keep_id) for groups with >1 member; ``keep_id``
     is the deterministic survivor (min doc_id).
     """
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    from document_parser_spark.functions.cleaning import (
+        norm_ws_lower_column,
+    )
+    norm = norm_ws_lower_column(F.col("text"))
     return (
         docs.select("doc_id", F.md5(norm).alias("fp"))
         .groupBy("fp")

@@ -160,9 +160,14 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Whole-document fingerprint: md5 of whitespace-normalized,
-    lowercased text. The exact-dedup key."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    return docs.select("doc_id", F.md5(norm).alias("fp"))
+    lowercased text (shared norm_ws_lower_column — Python-strip
+    whitespace semantics, mirrored literally by the oracle). The
+    exact-dedup key."""
+    from document_parser_spark.functions.cleaning import (
+        norm_ws_lower_column,
+    )
+    return docs.select(
+        "doc_id", F.md5(norm_ws_lower_column(F.col("text"))).alias("fp"))
 
 
 ROLL_PRIME = (1 << 31) - 1   # Mersenne: h*B^j products stay < 2^62

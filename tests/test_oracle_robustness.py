@@ -41,7 +41,9 @@ NASTY = [
 ]
 
 QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
-           "extract_pipeline", "extract_referenced_images"]
+           "extract_pipeline", "extract_referenced_images",
+           "text_redact_pii", "text_token_stats", "text_quality_scores",
+           "text_fingerprint", "dedup_exact", "f6_clean_invisibles"]
 
 
 @pytest.fixture(scope="module")
