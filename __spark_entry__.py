@@ -129,8 +129,17 @@ def _norm_ws_lower_sql(expr: str = "text") -> str:
     whitespace, so both sides spell the chain out explicitly)."""
     ws = "||".join(f"chr({ord(c)})" for c in PY_WHITESPACE)
     n = len(PY_WHITESPACE)
-    return (f"lower(trim(regexp_replace(translate({expr}, {ws}, "
-            f"repeat(' ', {n})), ' +', ' ', 'g')))")
+    return _ascii_lower_sql(
+        f"trim(regexp_replace(translate({expr}, {ws}, "
+        f"repeat(' ', {n})), ' +', ' ', 'g'))")
+
+
+def _ascii_lower_sql(expr: str) -> str:
+    """Deterministic A-Z fold — full-Unicode lower() is engine-tailored
+    (Java final-sigma / Turkish-İ vs utf8proc); mirror of
+    cleaning.ascii_lower_column."""
+    return (f"translate({expr}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            f"'abcdefghijklmnopqrstuvwxyz')")
 
 
 def _pii_redact_sql(expr: str = "text") -> str:
@@ -566,8 +575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup ----------------------------------------------------------
     def dedup_exact(spark, sf):
+        from document_parser_spark.functions.cleaning import (
+            norm_ws_lower_column,
+        )
         d = _tbl(spark, sf, "documents")
-        norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        norm = norm_ws_lower_column(F.col("text"))
         g = d.select(F.md5(norm).alias("fp")).groupBy("fp") \
              .agg(F.count("*").cast("long").alias("n"))
         return g.agg(
@@ -937,7 +949,7 @@ def _rolling_fp_oracle(window: int = 8) -> str:
                         ELSE CAST([] AS BIGINT[]) END AS fps
             FROM h)
       SELECT doc_id, len(fps)::bigint AS n_windows,
-             md5(array_to_string(fps, ',')) AS fp_sig
+             md5(coalesce(array_to_string(fps, ','), '')) AS fp_sig
       FROM f
     """
 
@@ -1053,9 +1065,13 @@ def _minhash_oracle(jaccard_tail: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     stop_en = ",".join(f"'{s}'" for s in ts.STOPWORDS["en"])
+    # ascii fold, not lower(): see _ascii_lower_sql (utf8proc would
+    # case-fold e.g. Turkish İT into the stopword 'it' where the Spark
+    # side's deterministic A-Z fold does not)
     lang_ratio = {
         lang: ("len(list_filter(string_split(text,' '), "
-               f"x -> lower(x) IN ({','.join(repr(s) for s in stops)})))"
+               f"x -> {_ascii_lower_sql('x')} IN "
+               f"({','.join(repr(s) for s in stops)})))"
                " * 1.0 / greatest(len(string_split(text,' ')), 1)")
         for lang, stops in ts.STOPWORDS.items()
     }
@@ -1225,11 +1241,11 @@ def oracle_sql() -> dict[str, str]:
                    || chr(31) || 'moji ' || chr(233) AS generic_cells
           FROM documents
         """,
-        "text_token_stats": r"""
+        "text_token_stats": f"""
           SELECT doc_id,
                  len(string_split(text, ' '))::bigint AS n_ws_tokens,
                  len(regexp_extract_all(text,
-                     '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::bigint AS n_bpe_tokens,
+                     '{ts.BPE_TOKEN_RE}'))::bigint AS n_bpe_tokens,
                  length(text)::bigint AS n_chars
           FROM documents
         """,
@@ -1237,7 +1253,8 @@ def oracle_sql() -> dict[str, str]:
           WITH t AS (SELECT doc_id,
               len(string_split(text, ' '))::bigint AS n_tokens,
               len(list_filter(string_split(text, ' '),
-                  x -> lower(x) IN ({stop_en})))::bigint AS n_stop,
+                  x -> {_ascii_lower_sql('x')} IN ({stop_en})))::bigint
+              AS n_stop,
               length(replace(text, ' ', '')) * 1.0
                 / greatest(len(string_split(text, ' ')), 1) AS mwl
             FROM documents)

@@ -141,20 +141,36 @@ def collapse_series(s: pd.Series) -> pd.Series:
     return s.str.split().str.join(" ")
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower_column(col):
+    """Deterministic ASCII case fold (A-Z -> a-z only). Full-Unicode
+    lower() is engine-tailored — Java applies the final-sigma rule and
+    decomposes Turkish İ, utf8proc (DuckDB) does neither — so any
+    oracle-verified KEY must use this fold instead (caught by the
+    adversarial-corpus oracle tests). Non-ASCII letters pass through
+    unchanged on both engines."""
+    from pyspark.sql import functions as F
+
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+
+
 def norm_ws_lower_column(col):
-    """Whitespace-normalized lowercased text — the exact-dedup /
+    """Whitespace-normalized case-folded text — the exact-dedup /
     fingerprint key. Python-strip whitespace semantics via the shared
     PY_WHITESPACE set: every whitespace char becomes a space, runs
-    collapse, ends trim, then lowercase — all codegen, and every step
-    has a literal DuckDB mirror (engine-native trim()s disagree on
-    unicode whitespace: DuckDB strips U+2007, Java/Spark does not —
-    caught by the adversarial-corpus oracle tests)."""
+    collapse, ends trim, then the ASCII fold — all codegen, and every
+    step has a literal DuckDB mirror (engine-native trim()/lower()
+    disagree on unicode: DuckDB trim strips U+2007 where Spark's does
+    not; see ascii_lower_column for the case-fold story)."""
     from pyspark.sql import functions as F
 
     from document_parser_spark.config import PY_WHITESPACE
 
     spaced = F.translate(col, PY_WHITESPACE, " " * len(PY_WHITESPACE))
-    return F.lower(F.trim(F.regexp_replace(spaced, " +", " ")))
+    return ascii_lower_column(F.trim(F.regexp_replace(spaced, " +", " ")))
 
 
 def clean_text_column(col):

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from document_parser_spark.functions.cleaning import ascii_lower_column
+
 # Shared vocabulary for the language-ID heuristic. Tiny on purpose —
 # it is broadcast into every task as a literal filter; at 100 TB the
 # cost is one array_contains per token, all codegen.
@@ -28,7 +30,9 @@ STOPWORDS = {
 
 # words + numbers + each punctuation mark = a BPE-ish lower bound on
 # token count (real BPE splits rare words further, never coarser).
-BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+# Whitespace spelled out instead of \s: Java's ASCII \s includes \x0b
+# where RE2's does not, and the oracle runs this pattern verbatim.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 EN_STOP_RATIO_MIN = 0.05  # >=5% English stopwords -> guess 'en'
 QUALITY_MIN_TOKENS = 8
@@ -61,7 +65,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     # codegen'd regexp count over padded text (see lang_id for why this
     # beats the interpreted filter/array_contains formulation)
     n_stop = F.regexp_count(
-        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+        F.concat(F.lit(" "), ascii_lower_column(F.col("text")),
+                 F.lit(" ")),
         F.lit(" (" + "|".join(STOPWORDS["en"]) + ")(?= )"))
     mean_len = (F.length(F.regexp_replace("text", " ", "")).cast("double")
                 / F.greatest(n_tok, F.lit(1)).cast("double"))
@@ -89,7 +94,8 @@ def lang_id(docs: DataFrame) -> DataFrame:
     slower). The leading-space-consumed / trailing-space-lookahead
     pattern makes adjacent stopwords ("of the") both count, exactly
     like word-list membership; token counts still come from split."""
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    padded = F.concat(F.lit(" "), ascii_lower_column(F.col("text")),
+                      F.lit(" "))
     n_words = F.size(_words())
 
     def ratio(stops: tuple[str, ...]) -> F.Column:

@@ -38,12 +38,23 @@ NASTY = [
     "tab" + Z(9) + "here", "feed" + Z(12) + "ff",
     "bom" + Z(0xFEFF) + "x",
     Z(0x200B), Z(0x2007), Z(0xFFFD),      # whole-word invisibles
+    Z(0x130) + "T",                       # Turkish I: lower() engine-split
+    Z(0x3A3) + "IGMA", "TE" + Z(0x3A3),   # final-sigma rule engine-split
+    "vt" + Z(0x0B) + "tab",               # \x0B: Java \s has it, RE2 not
+    "the", "The", Z(0x130) + "T the of",  # stopword case-fold probes
 ]
 
 QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
            "extract_pipeline", "extract_referenced_images",
            "text_redact_pii", "text_token_stats", "text_quality_scores",
-           "text_fingerprint", "dedup_exact", "f6_clean_invisibles"]
+           "text_fingerprint", "text_lang_id", "text_rolling_fingerprints",
+           "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_pruned",
+           "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_components",
+           "dedup_survivors", "shard_token_budget", "f6_clean_invisibles",
+           "a1_reassemble_roundtrip", "a2_first3_sample",
+           "w1_first_last_span", "w2_block_clustering",
+           "sample_hash_deterministic", "sample_stratified_fractions",
+           "sample_stratified_quota", "decontam_ngram_hits"]
 
 
 @pytest.fixture(scope="module")
