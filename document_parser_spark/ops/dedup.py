@@ -515,7 +515,13 @@ def _cosine(a, b) -> F.Column:
                             F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector must yield NULL similarity (and
+    # thus fall out of any >=threshold filter), not kill the job —
+    # under ANSI mode (Spark 4 default) a plain '/' throws
+    # DIVIDE_BY_ZERO on the first degenerate embedding in the corpus.
+    # DuckDB's list_cosine_similarity returns -1.0 for the same input;
+    # both engines therefore drop the row at any positive threshold.
+    return F.try_divide(dot, na * nb)
 
 
 def sign_bucket(vec_col: F.Column,

@@ -79,6 +79,55 @@ def dirty_sf(tmp_path_factory):
     return str(d)
 
 
+EMB_QUERIES = ["dedup_embedding_cosine", "ann_cosine_threshold",
+               "ann_lsh_buckets"]
+
+
+@pytest.fixture(scope="module")
+def dirty_emb_sf(tmp_path_factory):
+    """Adversarial embeddings: zero vectors (undefined cosine — must
+    drop, not crash the job under ANSI mode), near-denormal magnitudes,
+    exact-duplicate vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path_factory.mktemp("dirty_emb")
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        if i % 10 == 0:
+            v = [0.0] * 64
+        elif i % 10 == 1:
+            v = [1e-30] * 64
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v, i % 3))
+    rows.append((100, list(rows[5][1]), 0))    # duplicate vector
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", EMB_QUERIES)
+def test_embedding_oracle_on_dirty_vectors(spark, dirty_emb_sf, qname):
+    import __spark_entry__ as entry
+    from tools.check_contract import table_hash
+
+    sdf = entry.queries()[qname](spark, dirty_emb_sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{dirty_emb_sf}/embeddings.parquet')")
+    orel = con.sql(entry.oracle_sql()[qname])
+    ocols, orows = list(orel.columns), orel.fetchall()
+    assert len(srows) == len(orows)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
 @pytest.mark.parametrize("qname", QUERIES)
 def test_extraction_oracle_on_dirty_corpus(spark, dirty_sf, qname):
     import __spark_entry__ as entry
