@@ -1161,7 +1161,7 @@ def oracle_sql() -> dict[str, str]:
           WITH g AS (SELECT user_id, ts,
                             CASE WHEN lag(ts) OVER w IS NULL
                                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                                    >= {SESSION_GAP_S} * 1000000
+                                    > {SESSION_GAP_S} * 1000000
                                  THEN 1 ELSE 0 END AS brk
                      FROM events
                      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

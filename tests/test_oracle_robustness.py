@@ -128,6 +128,53 @@ def test_embedding_oracle_on_dirty_vectors(spark, dirty_emb_sf, qname):
     assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
 
 
+@pytest.fixture(scope="module")
+def dirty_events_sf(tmp_path_factory):
+    """Adversarial event streams: duplicate timestamps and inter-event
+    gaps of EXACTLY the session gap (Spark's session_window merges the
+    ==gap boundary; an oracle splitting on >= diverged here — r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+    d = tmp_path_factory.mktemp("dirty_events")
+    rng = random.Random(3)
+    rows = []
+    for u in range(8):
+        t = datetime(2026, 1, 1, 8, 0, 0)
+        for i in range(40):
+            if i % 7 == 0 and i > 0:
+                t = t + timedelta(seconds=1800)   # exactly the gap
+            elif i % 5 == 0:
+                pass                              # duplicate timestamp
+            else:
+                t = t + timedelta(seconds=rng.randint(1, 3600))
+            rows.append((u, t, f"e{i}"))
+    t2 = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    pq.write_table(t2, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", ["w3_session_breaks",
+                                   "w3_session_windows"])
+def test_session_oracle_on_dirty_events(spark, dirty_events_sf, qname):
+    import __spark_entry__ as entry
+    from tools.check_contract import table_hash
+
+    sdf = entry.queries()[qname](spark, dirty_events_sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{dirty_events_sf}/events.parquet')")
+    orel = con.sql(entry.oracle_sql()[qname])
+    ocols, orows = list(orel.columns), orel.fetchall()
+    assert len(srows) == len(orows)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
 @pytest.mark.parametrize("qname", QUERIES)
 def test_extraction_oracle_on_dirty_corpus(spark, dirty_sf, qname):
     import __spark_entry__ as entry
