@@ -196,9 +196,19 @@ def _cluster_ctes() -> str:
 # chars whose presence would make the full kernel diverge from the
 # SQL-expressible clean chain: '<'/'&' (DOM constructs) + the mojibake
 # lead-byte range; '/uni' handled as a literal replace
-_SANIT_FROM = "<&" + "".join(
+_MOJI_CHARS = "".join(
     chr(c) for c in range(ord(MOJIBAKE_LEAD_LO), ord(MOJIBAKE_LEAD_HI) + 1))
+_MOJI_CHARS_SQL = "||".join(f"chr({ord(c)})" for c in _MOJI_CHARS)
+_SANIT_FROM = "<&" + _MOJI_CHARS
 _SANIT_FROM_SQL = "||".join(f"chr({ord(c)})" for c in _SANIT_FROM)
+
+
+def _kernel_safe_prefix_sql(expr: str) -> str:
+    """DuckDB mirror of the f3 queries' prefix guard: mojibake leads
+    blanked, '/uni' removed — so the planted sequences are provably the
+    only kernel-trigger content regardless of corpus."""
+    return (f"replace(translate({expr}, {_MOJI_CHARS_SQL}, "
+            f"repeat(' ', {len(_MOJI_CHARS)})), '/uni', ' ')")
 _MOJI_JAVA = f"[{MOJIBAKE_LEAD_LO}-{MOJIBAKE_LEAD_HI}]"
 _MOJI_RE2 = (f"[\\x{{{ord(MOJIBAKE_LEAD_LO):x}}}"
              f"-\\x{{{ord(MOJIBAKE_LEAD_HI):x}}}]")
@@ -527,7 +537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             make_docx_clean_udf,
         )
         d = _tbl(spark, sf, "documents")
-        dirty = F.concat(F.substring("text", 1, 60),
+        pre = F.regexp_replace(
+            F.translate(F.substring("text", 1, 60), _MOJI_CHARS,
+                        " " * len(_MOJI_CHARS)), "/uni", " ")
+        dirty = F.concat(pre,
                          F.lit(" Cafe\u0301 A\u030a /uni0416 \ufffd"))
         return d.select("doc_id",
                         make_docx_clean_udf()(dirty).alias("cleaned"))
@@ -542,8 +555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             make_table_clean_udf,
         )
         d = _tbl(spark, sf, "documents")
-        payload = F.concat(F.substring("text", 1, 40),
-                           F.lit("\x1fmoji \u00c3\u00a9"))
+        pre = F.regexp_replace(
+            F.translate(F.substring("text", 1, 40), _MOJI_CHARS,
+                        " " * len(_MOJI_CHARS)), "/uni", " ")
+        payload = F.concat(pre, F.lit("\x1fmoji \u00c3\u00a9"))
         return d.select(
             "doc_id",
             make_table_clean_udf(False)(payload).alias("docx_cells"),
@@ -1226,7 +1241,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  {_invis_chain_sql(
                      "replace(replace(nfc_normalize("
-                     "text[1:60] || ' Cafe' || chr(769) || ' A' || chr(778)"
+                     + _kernel_safe_prefix_sql("text[1:60]")
+                     + " || ' Cafe' || chr(769) || ' A' || chr(778)"
                      " || ' /uni0416 ' || chr(65533)),"
                      " '/uni0416', chr(1046)), chr(65533), '.')")}
                  AS cleaned
@@ -1234,10 +1250,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f3_docx_table_asymmetry": f"""
           SELECT doc_id,
-                 {_invis_chain_sql(
-                     "text[1:40] || chr(31) || 'moji ' || chr(195)"
-                     " || chr(169)")} AS docx_cells,
-                 {_invis_chain_sql("text[1:40]")}
+                 replace({_invis_chain_sql(
+                     _kernel_safe_prefix_sql("text[1:40]")
+                     + " || chr(31) || 'moji ' || chr(195)"
+                     " || chr(169)")}, chr(65533), '.') AS docx_cells,
+                 replace({_invis_chain_sql(
+                     _kernel_safe_prefix_sql("text[1:40]"))},
+                         chr(65533), '.')
                    || chr(31) || 'moji ' || chr(233) AS generic_cells
           FROM documents
         """,

@@ -53,6 +53,7 @@ QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
            "dedup_survivors", "shard_token_budget", "f6_clean_invisibles",
            "a1_reassemble_roundtrip", "a2_first3_sample",
            "w1_first_last_span", "w2_block_clustering",
+           "f3_nfc_docx", "f3_docx_table_asymmetry",
            "sample_hash_deterministic", "sample_stratified_fractions",
            "sample_stratified_quota", "decontam_ngram_hits"]
 
