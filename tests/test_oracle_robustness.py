@@ -54,6 +54,7 @@ QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
            "a1_reassemble_roundtrip", "a2_first3_sample",
            "w1_first_last_span", "w2_block_clustering",
            "f3_nfc_docx", "f3_docx_table_asymmetry",
+           "multimodal_meta", "multimodal_decode_stub",
            "sample_hash_deterministic", "sample_stratified_fractions",
            "sample_stratified_quota", "decontam_ngram_hits"]
 
