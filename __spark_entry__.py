@@ -876,6 +876,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "markdown")
     q["extract_html_roundtrip"] = html_roundtrip
 
+    def html_rich_roundtrip(spark, sf):
+        """Serializer-coverage roundtrip (F10/F11 heading levels h2/h3,
+        F12 unordered + ordered list items) through the REAL DOM parse:
+        a guarded richer html family — two heading levels, a 2-item ul,
+        an optional paragraph, a 1-item ol seeded with corpus words —
+        whose full markdown is SQL-reconstructible."""
+        _ensure_pkg(spark)
+        docs = _tbl(spark, sf, "documents")
+        t2 = F.regexp_replace(
+            F.translate("text", _SANIT_FROM, " " * len(_SANIT_FROM)),
+            "/uni", " ")
+        w = F.split(t2, " ")
+        li = [F.concat(F.lit(f"i{k} "), F.coalesce(F.get(w, k - 1),
+                                                   F.lit("")))
+              for k in (1, 2, 3)]
+        html = F.concat(
+            F.lit("<body><h2>Sec "), F.col("doc_id").cast("string"),
+            F.lit("</h2><ul><li>"), li[0], F.lit("</li><li>"), li[1],
+            F.lit("</li></ul><p>"), t2,
+            F.lit("</p><h3>Deep "),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit("</h3><ol><li>"), li[2], F.lit("</li></ol></body>"))
+        span_docs = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(F.struct(
+                F.lit("html").alias("kind"), html.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"))).alias("spans"),
+            F.lit("derived").alias("host"),
+            F.lit("s").alias("size_bucket"))
+        out = extract(span_docs)
+        return out.select("doc_id", "status",
+                          F.size("spans").cast("long").alias("n_spans"),
+                          "markdown")
+    q["extract_html_rich_roundtrip"] = html_rich_roundtrip
+
     def md_roundtrip(spark, sf):
         """The headline pipeline with a REAL oracle: restricted to the
         SQL-reconstructible doc family (text chunks + optional image —
@@ -966,6 +1002,43 @@ def _rolling_fp_oracle(window: int = 8) -> str:
       SELECT doc_id, len(fps)::bigint AS n_windows,
              md5(coalesce(array_to_string(fps, ','), '')) AS fp_sig
       FROM f
+    """
+
+
+def _html_rich_oracle() -> str:
+    """DuckDB reconstruction of extract_html_rich_roundtrip: the list
+    items carry the non-blank 'iK ' prefix so exactly five blocks are
+    guaranteed (h2, 2x ul li, h3, ol li) plus the optional paragraph;
+    ol items render as '1. ' for every item (the golden-tested emitter
+    behavior), adjacent list items join with one newline."""
+    t2 = (f"replace(translate(text, {_SANIT_FROM_SQL}, "
+          f"repeat(' ', {len(_SANIT_FROM)})), '/uni', ' ')")
+
+    def clean_collapse(expr: str) -> str:
+        return _collapse_sql(
+            "replace(" + _invis_chain_sql(expr) + ", chr(65533), '.')")
+
+    li = [clean_collapse(f"'i{k} ' || coalesce(w[{k}], '')")
+          for k in (1, 2, 3)]
+    return f"""
+      WITH d AS (SELECT doc_id, string_split({t2}, ' ') AS w, {t2} AS t2
+                 FROM documents),
+      c AS (SELECT doc_id,
+                   {li[0]} AS l1, {li[1]} AS l2, {li[2]} AS l3,
+                   {clean_collapse('t2')} AS body
+            FROM d)
+      SELECT doc_id::varchar AS doc_id, 'ok' AS status,
+             (5 + CASE WHEN body <> '' THEN 1 ELSE 0 END)::bigint
+             AS n_spans,
+             '## Sec ' || doc_id::varchar
+             || chr(10) || chr(10) || '- ' || l1 || chr(10) || '- ' || l2
+             || CASE WHEN body <> ''
+                     THEN chr(10) || chr(10) || body ELSE '' END
+             || chr(10) || chr(10) || '### Deep '
+             || (doc_id % 7)::varchar
+             || chr(10) || chr(10) || '1. ' || l3
+             AS markdown
+      FROM c
     """
 
 
@@ -1288,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": lang_best,
         "text_rolling_fingerprints": _rolling_fp_oracle(),
         "extract_html_roundtrip": _extract_oracle("html"),
+        "extract_html_rich_roundtrip": _html_rich_oracle(),
         "extract_pipeline": _extract_oracle("both"),
         "extract_referenced_images": f"""
           SELECT doc_id, status, n_spans, markdown,

@@ -45,6 +45,7 @@ NASTY = [
 ]
 
 QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
+           "extract_html_rich_roundtrip",
            "extract_pipeline", "extract_referenced_images",
            "text_redact_pii", "text_token_stats", "text_quality_scores",
            "text_fingerprint", "text_lang_id", "text_rolling_fingerprints",
