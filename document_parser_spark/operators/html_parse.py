@@ -391,39 +391,44 @@ def _start_kind(src: str) -> tuple[str, list] | None:
     return None        # parse_starttag error recovery: parser decides
 
 
-def _scan_fast(doc: str) -> list | None:
-    """Tokenize ``doc`` into buffered events
-    [('s'|'se', tag, attrs) | ('e', tag) | ('d', text)], or None when any
-    construct requires the html.parser fallback."""
+def _scan_into(doc: str, hd, hs, he, hse) -> bool:
+    """Fused tokenizer: drives the four handler callables (data, starttag,
+    endtag, startendtag) DIRECTLY from the scan loop — no event tuples, no
+    replay dispatch (together ~25% of the kernel in cProfile). Returns False
+    when any construct requires the html.parser fallback; the caller is
+    responsible for rolling back whatever the handlers emitted (the scan can
+    bail after emission, e.g. suspicious data late in the document)."""
     if "<![" in doc:
-        return None
-    events: list = []
+        return False
     pos, n = 0, len(doc)
+    search = _MASTER_RE.search
     while pos < n:
-        m = _MASTER_RE.search(doc, pos)
+        m = search(doc, pos)
         seg_end = m.start() if m else n
         if seg_end > pos:
             seg = doc[pos:seg_end]
             if _SUSPICIOUS_DATA_RE.search(seg):
-                return None     # tag-like text the master regex rejected
+                return False    # tag-like text the master regex rejected
             # html.parser emits '<'-that-starts-no-construct as its own
             # data event (text split at every raw '<') — replicate the
             # exact chunking so even chunk-level consumers agree.
-            parts = seg.split("<")
-            for j, part in enumerate(parts):
-                if j > 0:
-                    events.append(("d", "<"))
-                if part:
-                    events.append(
-                        ("d", _unescape(part) if "&" in part else part))
+            if "<" in seg:
+                parts = seg.split("<")
+                for j, part in enumerate(parts):
+                    if j > 0:
+                        hd("<")
+                    if part:
+                        hd(_unescape(part) if "&" in part else part)
+            else:
+                hd(_unescape(seg) if "&" in seg else seg)
         if m is None:
             break
         pos = m.end()
         if m.group("end"):
             junk = m.group("ejunk")
             if junk and (junk.strip() or "<" in junk):
-                return None     # end-tag with junk: parser-specific recovery
-            events.append(("e", m.group("etag").lower()))
+                return False    # end-tag with junk: parser-specific recovery
+            he(m.group("etag").lower())
             continue
         tag = m.group("tag")
         if tag is not None:
@@ -433,7 +438,7 @@ def _scan_fast(doc: str) -> list | None:
             if a.endswith("/"):
                 res = _start_kind(rawtag + a)
                 if res is None:
-                    return None   # tolerant-parsing corner: parser decides
+                    return False  # tolerant-parsing corner: parser decides
                 kind, exact_attrs = res
                 selfclose = kind == "se"
                 if tag == "img":
@@ -447,30 +452,50 @@ def _scan_fast(doc: str) -> list | None:
                         val = next(g for g in sm.groups() if g is not None)
                         attrs = [("src",
                                   _unescape(val) if "&" in val else val)]
-            events.append(("se" if selfclose else "s", tag, attrs))
-            if not selfclose and tag in _CDATA_LOOSE:
-                lm = _CDATA_LOOSE[tag].search(doc, pos)
-                if lm is None:
-                    if pos < n:
-                        events.append(("d", doc[pos:]))   # raw, no unescape
-                    pos = n
-                    continue
-                sm2 = _CDATA_STRICT[tag].match(doc, lm.start())
-                if sm2 is None:
-                    return None  # irregular cdata close: parser recovery
-                if lm.start() > pos:
-                    events.append(("d", doc[pos:lm.start()]))
-                events.append(("e", tag))
-                pos = sm2.end()
+            if selfclose:
+                hse(tag, attrs)
+            else:
+                hs(tag, attrs)
+                if tag in _CDATA_LOOSE:
+                    lm = _CDATA_LOOSE[tag].search(doc, pos)
+                    if lm is None:
+                        if pos < n:
+                            hd(doc[pos:])   # raw, no unescape
+                        pos = n
+                        continue
+                    sm2 = _CDATA_STRICT[tag].match(doc, lm.start())
+                    if sm2 is None:
+                        return False  # irregular cdata close: parser recovery
+                    if lm.start() > pos:
+                        hd(doc[pos:lm.start()])
+                    he(tag)
+                    pos = sm2.end()
             continue
         if m.group("comment") is not None:
             continue             # handle_comment is a no-op for the emitter
         decl = m.group("decl")
         if decl is not None:
             if '"' in decl or "'" in decl:
-                return None     # quoted declarations scan past '>' in CPython
+                return False    # quoted declarations scan past '>' in CPython
             continue             # doctype/PI: no-op for the emitter
-    return events
+    return True
+
+
+def _scan_fast(doc: str) -> list | None:
+    """Event-recording wrapper over ``_scan_into`` (the single scanner
+    implementation): returns buffered events
+    [('s'|'se', tag, attrs) | ('e', tag) | ('d', text)], or None when the
+    scan bails. Used by the differential tests to inspect event streams."""
+    events: list = []
+    ap = events.append
+    ok = _scan_into(
+        doc,
+        lambda t: ap(("d", t)),
+        lambda tag, attrs: ap(("s", tag, attrs)),
+        lambda tag: ap(("e", tag)),
+        lambda tag, attrs: ap(("se", tag, attrs)),
+    )
+    return events if ok else None
 
 
 def _replay(em: _FlatEmitter, events: list) -> None:
@@ -484,6 +509,32 @@ def _replay(em: _FlatEmitter, events: list) -> None:
             em.handle_endtag(ev[1])
         else:
             em.handle_startendtag(ev[1], ev[2])
+
+
+def _feed_doc(em: _FlatEmitter, out: dict, i: int, html: str) -> bool:
+    """Run one document through the fused fast path; on bail (or any
+    exception) roll the shared output lists back to their pre-document
+    lengths and re-parse the whole document with html.parser — so the fast
+    path can only ever be a faster implementation of identical behavior.
+    Returns True when the fast path handled the document."""
+    marks = [(lst, len(lst)) for lst in out.values()]
+    em.reset_doc(i)
+    try:
+        ok = _scan_into(html, em.handle_data, em.handle_starttag,
+                        em.handle_endtag, em.handle_startendtag)
+    except Exception:
+        ok = False
+    if not ok:
+        for lst, ln in marks:
+            del lst[ln:]
+        em.reset_doc(i)
+        try:
+            em.feed(html)
+            em.close()
+        except Exception:
+            pass
+    em.finish()
+    return ok
 
 
 def _group_join(sort_cols: list[np.ndarray], texts: np.ndarray,
@@ -533,23 +584,7 @@ def parse_html_rows(htmls: pd.Series) -> pd.DataFrame:
     for i, html in enumerate(htmls):
         if html is None or html == "":
             continue
-        try:
-            events = _scan_fast(html)
-        except Exception:
-            events = None
-        emitter.reset_doc(i)
-        if events is not None:
-            try:
-                _replay(emitter, events)
-            except Exception:
-                pass  # keep whatever was emitted before the error
-        else:
-            try:
-                emitter.feed(html)
-                emitter.close()
-            except Exception:
-                pass
-        emitter.finish()
+        _feed_doc(emitter, out, i, html)
 
     frames: list[pd.DataFrame] = []
 

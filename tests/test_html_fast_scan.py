@@ -29,32 +29,47 @@ def _via_htmlparser(htmls: list[str]) -> pd.DataFrame:
 
 
 def _via_fast(htmls: list[str]) -> tuple[dict, int]:
+    """Production path: fused scan (`_feed_doc`) with rollback + html.parser
+    fallback — exactly what parse_html_rows runs per document."""
     out = hp._new_out()
     em = hp._FlatEmitter(out)
     bailed = 0
     for i, h in enumerate(htmls):
         if not h:
             continue
-        events = hp._scan_fast(h)
-        if events is None:
+        if not hp._feed_doc(em, out, i, h):
             bailed += 1
-            em.reset_doc(i)
+    return out, bailed
+
+
+def _via_recorder(htmls: list[str]) -> dict:
+    """Legacy two-phase path (`_scan_fast` event buffer + `_replay`) — kept
+    as a differential check that the recorder wrapper mirrors the fused
+    scanner event-for-event."""
+    out = hp._new_out()
+    em = hp._FlatEmitter(out)
+    for i, h in enumerate(htmls):
+        if not h:
+            continue
+        events = hp._scan_fast(h)
+        em.reset_doc(i)
+        if events is None:
             try:
                 em.feed(h)
                 em.close()
             except Exception:
                 pass
         else:
-            em.reset_doc(i)
             hp._replay(em, events)
         em.finish()
-    return out, bailed
+    return out
 
 
 def _assert_same(htmls: list[str], max_bail: int | None = None) -> int:
     want = _via_htmlparser(htmls)
     got, bailed = _via_fast(htmls)
     assert got == want
+    assert _via_recorder(htmls) == want
     if max_bail is not None:
         assert bailed <= max_bail
     return bailed
@@ -175,6 +190,7 @@ def test_fuzz_tag_soup_identical(frags):
     want = _via_htmlparser([doc])
     got, _ = _via_fast([doc])
     assert got == want
+    assert _via_recorder([doc]) == want
 
 
 @settings(max_examples=300, deadline=None)
@@ -183,3 +199,4 @@ def test_fuzz_raw_chars_identical(doc):
     want = _via_htmlparser([doc])
     got, _ = _via_fast([doc])
     assert got == want
+    assert _via_recorder([doc]) == want
