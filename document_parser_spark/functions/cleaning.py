@@ -35,6 +35,16 @@ _INVISIBLE_TABLE = {ord(c): " " for c in INVISIBLE_CODEPOINTS}
 _UNI_LIT = "/uni"
 _MOJIBAKE_PAT = f"[{MOJIBAKE_LEAD_LO}-{MOJIBAKE_LEAD_HI}]"
 _UNI_RE = re.compile(UNI_ESCAPE_PATTERN)
+# clean_text is the identity unless the row carries a '/uni' literal, a
+# U+FFFD, or an invisible codepoint — one compiled scan finds the (rare)
+# dirty rows so the per-row replace/translate passes run only on those.
+# REPLACEMENT_CHAR is not in INVISIBLE_CODEPOINTS (asserted in tests), so
+# the replace + translate steps fold into ONE str.translate table.
+_CLEAN_DIRTY_RE = re.compile(
+    f"{re.escape(_UNI_LIT)}|[{re.escape(REPLACEMENT_CHAR)}"
+    f"{re.escape(INVISIBLE_CODEPOINTS)}]")
+_CLEAN_TABLE = dict(_INVISIBLE_TABLE)
+_CLEAN_TABLE[ord(REPLACEMENT_CHAR)] = REPLACEMENT_FIX
 
 
 def clean_series(s: pd.Series) -> pd.Series:
@@ -45,15 +55,21 @@ def clean_series(s: pd.Series) -> pd.Series:
     if not mask.any():
         return s
     vals = s[mask]
+    dirty = vals.str.contains(_CLEAN_DIRTY_RE, regex=True)
+    if not dirty.any():
+        return s
+    sub = vals[dirty.to_numpy()]
     # /uni unescape only where the literal appears (regex needs chr(), so it
     # stays Python — but only on the affected rows).
-    uni_mask = vals.str.contains(_UNI_LIT, regex=False)
+    uni_mask = sub.str.contains(_UNI_LIT, regex=False)
     if uni_mask.any():
-        vals.loc[uni_mask] = vals[uni_mask].map(unescape_uni)
-    vals = vals.str.replace(REPLACEMENT_CHAR, REPLACEMENT_FIX, regex=False)
-    vals = vals.str.translate(_INVISIBLE_TABLE)
+        sub = sub.copy()
+        sub.loc[uni_mask] = sub[uni_mask].map(unescape_uni)
+    sub = sub.str.translate(_CLEAN_TABLE)
+    arr = vals.to_numpy(copy=True)          # positional, no index alignment
+    arr[dirty.to_numpy()] = sub.to_numpy()
     out = s.copy()
-    out[mask] = vals
+    out[mask] = arr
     return out
 
 
@@ -136,9 +152,34 @@ def table_clean_series(s: pd.Series, fix_cells: bool) -> pd.Series:
     return out
 
 
+# collapse is the identity unless the row starts/ends with whitespace,
+# contains a whitespace run, or contains a non-space whitespace char
+# ([^\S ]). Python's no-arg str.split() whitespace set is exactly regex
+# \s on CPython 3.11 (verified over all codepoints; asserted in tests),
+# so this scan is a sound identity test.
+_COLLAPSE_DIRTY_RE = re.compile(r"^\s|\s\s|\s$|[^\S ]")
+
+
+def _collapse_one(x: str) -> str:
+    return " ".join(x.split())
+
+
 def collapse_series(s: pd.Series) -> pd.Series:
-    """HTML whitespace collapse: runs of whitespace -> single space, strip."""
-    return s.str.split().str.join(" ")
+    """HTML whitespace collapse: runs of whitespace -> single space, strip.
+    NaN-safe (left as NaN)."""
+    mask = s.notna()
+    if not mask.any():
+        return s.astype("object") if s.dtype != object else s
+    vals = s[mask]
+    dirty = vals.str.contains(_COLLAPSE_DIRTY_RE, regex=True)
+    if not dirty.any():
+        return s
+    dnp = dirty.to_numpy()
+    arr = vals.to_numpy(copy=True)
+    arr[dnp] = [_collapse_one(x) for x in arr[dnp]]
+    out = s.astype("object").copy()
+    out[mask] = arr
+    return out
 
 
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"

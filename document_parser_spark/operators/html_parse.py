@@ -565,6 +565,26 @@ def _group_join(sort_cols: list[np.ndarray], texts: np.ndarray,
     return [k[starts] for k in sort_cols], out, starts
 
 
+def _sorted_by(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Stable sort by ``cols`` — skipped when the frame is already in order,
+    which is the common case: the emitter appends rows per document in
+    ascending (row, seq, ...) order, so emission order IS sorted order
+    unless a handler exception left a partial tail."""
+    n = len(df)
+    if n < 2:
+        return df
+    arrays = [df[c].to_numpy() for c in cols]
+    unordered = np.zeros(n - 1, dtype=bool)   # True where prev > next
+    tied = np.ones(n - 1, dtype=bool)
+    for a in arrays:
+        with np.errstate(invalid="ignore"):
+            unordered |= tied & (a[:-1] > a[1:])
+            tied &= a[:-1] == a[1:]
+    if not unordered.any():
+        return df
+    return df.sort_values(cols, kind="stable")
+
+
 def _new_out() -> dict:
     return {k: [] for k in (
         "m_row", "m_seq", "m_kind", "m_media",
@@ -597,9 +617,14 @@ def parse_html_rows(htmls: pd.Series) -> pd.DataFrame:
                             "ord": out["c_ord"], "text": out["c_text"],
                             "link": out["c_link"]})
         cdf["clean"] = clean_and_fix_series(cdf["text"])
-        link_len = collapse_series(cdf["clean"]).str.len()
-        cdf["link_chars"] = np.where(cdf["link"], link_len, 0)
-        cdf = cdf.sort_values(["row", "seq", "ord"], kind="stable")
+        # link-char counts need the collapsed length only for link chunks
+        link_mask = cdf["link"].to_numpy()
+        link_chars = np.zeros(len(cdf), dtype=np.int64)
+        if link_mask.any():
+            link_chars[link_mask] = collapse_series(
+                cdf["clean"][link_mask]).str.len().to_numpy()
+        cdf["link_chars"] = link_chars
+        cdf = _sorted_by(cdf, ["row", "seq", "ord"])
         keys, joined, starts = _group_join(
             [cdf["row"].to_numpy(), cdf["seq"].to_numpy()],
             cdf["clean"].to_numpy())
@@ -632,7 +657,7 @@ def parse_html_rows(htmls: pd.Series) -> pd.DataFrame:
                             "tr": out["t_tr"], "cell": out["t_cell"],
                             "ord": out["t_ord"], "text": out["t_text"]})
         tdf["clean"] = clean_and_fix_series(tdf["text"])
-        tdf = tdf.sort_values(["row", "seq", "tr", "cell", "ord"], kind="stable")
+        tdf = _sorted_by(tdf, ["row", "seq", "tr", "cell", "ord"])
         ckeys, ctext, _ = _group_join(
             [tdf[c].to_numpy() for c in ("row", "seq", "tr", "cell")],
             tdf["clean"].to_numpy())
