@@ -574,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "documents"))
     q["text_fingerprint"] = lambda spark, sf: ts.fingerprint(
         _tbl(spark, sf, "documents"))
+    q["text_repetition_stats"] = lambda spark, sf: ts.repetition_stats(
+        _tbl(spark, sf, "documents"))
 
     def rolling_fps(spark, sf):
         """Rolling Rabin-Karp span fingerprints — built-in windowed
@@ -1357,6 +1359,29 @@ def oracle_sql() -> dict[str, str]:
                        AND mwl <= {ts.QUALITY_MAX_MEAN_WORD_LEN}
                        THEN 1 ELSE 0 END)::bigint AS quality_ok
           FROM t
+        """,
+        "text_repetition_stats": f"""
+          WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          base AS (SELECT doc_id, len(ws)::bigint AS n_words,
+                          len(list_distinct(ws))::bigint AS n_uniq FROM w),
+          bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+                 FROM w, unnest(range(1, len(ws))) AS t(i)),
+          cnt AS (SELECT doc_id, bg, count(*)::bigint AS c
+                  FROM bg GROUP BY 1, 2),
+          top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+                  FROM cnt GROUP BY 1),
+          j AS (SELECT b.doc_id, b.n_words,
+                  round(1.0 - b.n_uniq * 1.0 / greatest(b.n_words, 1), 3)
+                    AS dup_word_frac,
+                  round(coalesce(t.top_c * 1.0 / t.n_bg, 0.0), 3)
+                    AS top_bigram_frac
+                FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id)
+          SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+                 (CASE WHEN dup_word_frac <= {ts.REP_DUP_WORD_MAX}
+                       AND top_bigram_frac <= {ts.REP_TOP_BIGRAM_MAX}
+                       THEN 1 ELSE 0 END)::bigint AS rep_ok
+          FROM j
         """,
         "text_lang_id": lang_best,
         "text_rolling_fingerprints": _rolling_fp_oracle(),

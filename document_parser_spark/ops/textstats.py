@@ -176,6 +176,66 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id", F.md5(norm_ws_lower_column(F.col("text"))).alias("fp"))
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 spirit):
+# documents dominated by one repeated 2-gram or by wholesale word
+# repetition are boilerplate/spam, not prose.
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_WORD_MAX = 0.95
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition quality filter — the Gopher-rule pass of a curation
+    pipeline: per document, the duplicate-word fraction
+    (1 - distinct/total) and the fraction of 2-grams taken by the
+    single most frequent 2-gram, plus the keep flag.
+
+    -> (doc_id, n_words, dup_word_frac, top_bigram_frac, rep_ok)
+
+    Scale shape: the in-row stats are codegen array ops; the 2-gram
+    mode needs a per-(doc, gram) count — explode + two aggregations
+    whose first (doc_id, bg) groupBy does map-side partial
+    aggregation, so the shuffle carries one row per *distinct* gram
+    per doc, and everything after is one tiny row per doc. No
+    driver-side state; AQE handles the final doc-keyed join.
+    """
+    d = docs.select("doc_id", _words().alias("ws"))
+    base = d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_uniq"))
+    bg_arr = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("ws"), i.cast("int")),
+                F.element_at(F.col("ws"), (i + 1).cast("int")))),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        d.select("doc_id", F.explode(bg_arr).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_uniq").cast("double")
+        / F.greatest(F.col("n_words"), F.lit(1)).cast("double"), 3)
+    top_frac = F.round(F.coalesce(
+        F.col("top_c").cast("double") / F.col("n_bg").cast("double"),
+        F.lit(0.0)), 3)
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id", "n_words",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac <= F.lit(REP_DUP_WORD_MAX))
+             & (top_frac <= F.lit(REP_TOP_BIGRAM_MAX)))
+            .cast("int").cast("long").alias("rep_ok"),
+        )
+    )
+
+
 ROLL_PRIME = (1 << 31) - 1   # Mersenne: h*B^j products stay < 2^62
 ROLL_BASE = 1000003
 

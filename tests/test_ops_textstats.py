@@ -82,3 +82,36 @@ def test_redact_pii(spark):
     assert got[4].redacted == rows[3][1]
     assert got[4].n_email == got[4].n_ip == got[4].n_phone == 0
     assert got[5].redacted == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),         # one repeated word
+        (2, "a b c d e f g h"),                       # all distinct
+        (3, "go stop go stop go stop go"),            # dominant bigrams
+        (4, "solo"),                                  # no bigrams
+        (5, "x y z x y w q r s t u v"),               # mild repetition
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x.doc_id: x for x in ts.repetition_stats(docs).collect()}
+    # doc 1: 6 words 1 uniq -> dup 1-1/6=0.833; bigrams all 'spam spam'
+    assert r[1].n_words == 6
+    assert r[1].dup_word_frac == 0.833
+    assert r[1].top_bigram_frac == 1.0
+    assert r[1].rep_ok == 0
+    # doc 2: fully distinct words, 7 distinct bigrams of 7
+    assert r[2].dup_word_frac == 0.0
+    assert r[2].top_bigram_frac == round(1 / 7, 3)
+    assert r[2].rep_ok == 1
+    # doc 3: 'go stop' x3 + 'stop go' x3 of 6 bigrams -> top 0.5
+    assert r[3].top_bigram_frac == 0.5
+    assert r[3].rep_ok == 0
+    # doc 4: single word -> no bigrams, top frac 0 by definition
+    assert r[4].n_words == 1
+    assert r[4].top_bigram_frac == 0.0
+    assert r[4].dup_word_frac == 0.0
+    assert r[4].rep_ok == 1
+    # doc 5: 12 words, 10 uniq -> 0.167 dup; every bigram unique except
+    # 'x y' twice -> 2/11
+    assert r[5].dup_word_frac == round(1 - 10 / 12, 3)
+    assert r[5].top_bigram_frac == round(2 / 11, 3)
