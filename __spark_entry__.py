@@ -576,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "documents"))
     q["text_repetition_stats"] = lambda spark, sf: ts.repetition_stats(
         _tbl(spark, sf, "documents"))
+    q["text_vocab_topk"] = lambda spark, sf: ts.vocab_topk(
+        _tbl(spark, sf, "documents"), k=50)
 
     def rolling_fps(spark, sf):
         """Rolling Rabin-Karp span fingerprints — built-in windowed
@@ -1382,6 +1384,16 @@ def oracle_sql() -> dict[str, str]:
                        AND top_bigram_frac <= {ts.REP_TOP_BIGRAM_MAX}
                        THEN 1 ELSE 0 END)::bigint AS rep_ok
           FROM j
+        """,
+        "text_vocab_topk": """
+          SELECT word, count(*)::bigint AS tf,
+                 count(DISTINCT doc_id)::bigint AS df
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE word <> ''
+          GROUP BY word
+          ORDER BY tf DESC, word
+          LIMIT 50
         """,
         "text_lang_id": lang_best,
         "text_rolling_fingerprints": _rolling_fp_oracle(),

@@ -176,6 +176,32 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id", F.md5(norm_ws_lower_column(F.col("text"))).alias("fp"))
 
 
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent words with doc
+    frequency — the build step for IDF tables / stopword lists over a
+    training corpus.
+
+    -> (word, tf, df) ordered by (tf desc, word) with a deterministic
+    tiebreak.
+
+    Scale shape: explode -> one (word)-keyed aggregation with map-side
+    partial combine (the shuffle carries one row per distinct word per
+    task), then a global top-k that Catalyst executes as
+    TakeOrderedAndProject — per-partition heap top-k, only k rows per
+    partition reach the driver-side merge. No full sort, no skew
+    exposure (word counts are pre-combined before the shuffle).
+    """
+    w = (docs.select("doc_id", F.explode(_words()).alias("word"))
+         .filter(F.col("word") != ""))
+    return (
+        w.groupBy("word")
+        .agg(F.count("*").cast("long").alias("tf"),
+             F.count_distinct("doc_id").cast("long").alias("df"))
+        .orderBy(F.col("tf").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
 # Gopher-style repetition thresholds (Rae et al. 2021, table A1 spirit):
 # documents dominated by one repeated 2-gram or by wholesale word
 # repetition are boilerplate/spam, not prose.

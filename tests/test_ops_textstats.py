@@ -115,3 +115,22 @@ def test_repetition_stats(spark):
     # 'x y' twice -> 2/11
     assert r[5].dup_word_frac == round(1 - 10 / 12, 3)
     assert r[5].top_bigram_frac == round(2 / 11, 3)
+
+
+def test_vocab_topk(spark):
+    rows = [
+        (1, "b b b a a c"),
+        (2, "a b  d"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ts.vocab_topk(docs, k=3).collect()
+    # b: tf 4 df 2; a: tf 3 df 2; c/d tie tf 1 -> 'c' wins the word
+    # tiebreak; '' (from the double space + empty doc) never counted
+    assert [(r.word, r.tf, r.df) for r in out] == [
+        ("b", 4, 2), ("a", 3, 2), ("c", 1, 1)]
+    # global top-k must plan as TakeOrderedAndProject (per-partition
+    # heap + driver merge of k rows), not a full sort
+    plan = ts.vocab_topk(docs, k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
