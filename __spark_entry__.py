@@ -34,6 +34,8 @@ from document_parser_spark.config import (
 )
 from document_parser_spark.ops import decontam as dc
 from document_parser_spark.ops import dedup as dd
+from document_parser_spark.ops import lm as lmo
+from document_parser_spark.ops import retrieval as rtr
 from document_parser_spark.ops import multimodal as mm
 from document_parser_spark.ops import sampling as smp
 from document_parser_spark.ops import similarity as sim
@@ -45,6 +47,7 @@ from document_parser_spark.plans.pipeline import extract
 # ---------------------------------------------------------------------------
 
 SESSION_GAP_S = 1800
+BM25_QUERY_TERMS = ("spark", "window", "merge")
 DERIVED_KINDS = ("html", "text", "image", "wav")  # doc_id % 4 -> kind
 
 
@@ -643,6 +646,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dd.ngram_jaccard_pairs(docs)
         return dd.dedup_survivors(docs.select("doc_id"), pairs)
     q["dedup_survivors"] = dedup_surv
+
+    def dedup_chunks(spark, sf):
+        """Cross-document chunk-level exact dedup (Lee et al. 2022 /
+        RefinedWeb line-dedup at k-word-window granularity): every
+        chunk keeps only its corpus-earliest occurrence and documents
+        are rebuilt from survivors. The rebuilt text is compared via
+        md5 signature (order-sensitive, so the oracle also proves the
+        original-order reassembly)."""
+        out = dd.chunk_dedup(_tbl(spark, sf, "documents"))
+        return out.select("doc_id", "n_chunks", "n_kept",
+                          F.md5("text_dedup").alias("dedup_sig"))
+    q["dedup_chunks"] = dedup_chunks
+
+    def lm_scores(spark, sf):
+        """Corpus bigram-LM perplexity scoring (the CCNet quality
+        axis): every document scored under the corpus's own add-k
+        bigram model; oracle recomputes the identical model in SQL."""
+        return lmo.bigram_lm_scores(_tbl(spark, sf, "documents"))
+    q["text_bigram_lm"] = lm_scores
+
+    def bm25(spark, sf):
+        """BM25 lexical retrieval over the documents table for a
+        fixed bag-of-terms query (Lucene-style non-negative idf);
+        term filter lands before the first shuffle."""
+        return rtr.bm25_scores(_tbl(spark, sf, "documents"),
+                               BM25_QUERY_TERMS)
+    q["search_bm25"] = bm25
 
     def pii_redact(spark, sf):
         """PII scrub (email / IP / phone) over text with DETERMINISTIC
@@ -1530,6 +1560,97 @@ def oracle_sql() -> dict[str, str]:
                  sum(CASE WHEN s > 0 THEN (1::bigint << j)
                           ELSE 0 END)::bigint AS simhash
           FROM bits GROUP BY doc_id
+        """,
+        "dedup_chunks": f"""
+          WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+          ix AS (SELECT doc_id, w,
+                        unnest(range(CAST(ceil(len(w)
+                                / {float(dd.CHUNK_WORDS)!r}) AS BIGINT)))
+                        AS i
+                 FROM ws),
+          chf AS (SELECT doc_id, i AS pos, chunk,
+                         {h60.format(s="chunk")} AS h,
+                         doc_id * {dd.CHUNK_POS_PACK} + i AS wkey
+                  FROM (SELECT doc_id, i,
+                               array_to_string(list_slice(w,
+                                   i * {dd.CHUNK_WORDS} + 1,
+                                   i * {dd.CHUNK_WORDS}
+                                       + {dd.CHUNK_WORDS}), ' ')
+                               AS chunk
+                        FROM ix)
+                  WHERE chunk <> ''),
+          win AS (SELECT min(wkey) AS wkey FROM chf GROUP BY h),
+          kept AS (SELECT c.doc_id, c.pos, c.chunk
+                   FROM chf c JOIN win USING (wkey)),
+          tot AS (SELECT doc_id, count(*)::bigint AS n_chunks
+                  FROM chf GROUP BY doc_id),
+          reb AS (SELECT doc_id, count(*)::bigint AS n_kept,
+                         array_to_string(list(chunk ORDER BY pos), ' ')
+                         AS text_dedup
+                  FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, t.n_chunks,
+                 coalesce(r.n_kept, 0)::bigint AS n_kept,
+                 md5(coalesce(r.text_dedup, '')) AS dedup_sig
+          FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+        """,
+        "text_bigram_lm": f"""
+          WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+          bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                 FROM (SELECT doc_id, w,
+                              unnest(range(1, len(w))) AS i FROM ws)
+                 WHERE w[i] <> '' AND w[i + 1] <> ''),
+          dg AS (SELECT doc_id, w1, w2, count(*)::bigint AS cnt
+                 FROM bg GROUP BY doc_id, w1, w2),
+          ctx AS (SELECT w1, sum(cnt)::bigint AS c1 FROM dg GROUP BY w1),
+          mdl AS (SELECT w1, w2, sum(cnt)::bigint AS c2
+                  FROM dg GROUP BY w1, w2),
+          voc AS (SELECT count(DISTINCT word) * 1.0 AS v
+                  FROM (SELECT unnest(string_split(text, ' ')) AS word
+                        FROM documents)
+                  WHERE word <> ''),
+          sc AS (SELECT g.doc_id,
+                        sum(g.cnt)::bigint AS n_bigrams,
+                        round(sum(g.cnt * (-ln((m.c2 + {lmo.LM_ADD_K!r})
+                                  / (c.c1 + {lmo.LM_ADD_K!r} * voc.v))))
+                              / sum(g.cnt), 3) AS mean_nll
+                 FROM dg g
+                 JOIN mdl m ON g.w1 = m.w1 AND g.w2 = m.w2
+                 JOIN ctx c ON g.w1 = c.w1
+                 CROSS JOIN voc
+                 GROUP BY g.doc_id)
+          SELECT doc_id, n_bigrams, mean_nll,
+                 (CASE WHEN mean_nll <= {lmo.LM_NLL_MAX!r}
+                       THEN 1 ELSE 0 END)::bigint AS lm_ok
+          FROM sc
+        """,
+        "search_bm25": f"""
+          WITH lens AS (SELECT doc_id,
+                               len(string_split(text, ' '))::bigint AS dl
+                        FROM documents),
+          st AS (SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl
+                 FROM lens),
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+          tf AS (SELECT doc_id, w, count(*)::bigint AS tf
+                 FROM tok
+                 WHERE w IN {tuple(BM25_QUERY_TERMS)!r}
+                 GROUP BY doc_id, w),
+          dfx AS (SELECT w, count(*) * 1.0 AS df FROM tf GROUP BY w)
+          SELECT t.doc_id, count(*)::bigint AS n_hits,
+                 round(sum(ln(1.0 + (st.n_docs - d.df + 0.5)
+                              / (d.df + 0.5))
+                           * (t.tf * {rtr.BM25_K1 + 1.0!r})
+                           / (t.tf + {rtr.BM25_K1!r}
+                              * ({1.0 - rtr.BM25_B!r}
+                                 + ({rtr.BM25_B!r} * l.dl)
+                                   / st.avgdl))), 3) AS score
+          FROM tf t
+          JOIN dfx d ON t.w = d.w
+          JOIN lens l ON t.doc_id = l.doc_id
+          CROSS JOIN st
+          GROUP BY t.doc_id
         """,
         "dedup_embedding_cosine": f"""
           WITH v AS (SELECT vec_id, embedding,

@@ -558,3 +558,87 @@ def embedding_neardup_pairs(emb: DataFrame,
                 F.round(_cosine(F.col("ea"), F.col("eb")), 3).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# --- cross-document chunk-level exact dedup ------------------------
+#
+# The "exact substring / line-level" dedup pass of a curation pipeline
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"; RefinedWeb's line-level pass): any chunk of text that
+# already occurred anywhere earlier in the corpus order is removed,
+# and each document is rebuilt from its surviving chunks. Chunks are
+# either non-overlapping k-word windows (default — matches the paper's
+# fixed-span granularity) or regex-split paragraphs/lines.
+
+CHUNK_WORDS = 20
+# winner key packs (doc_id, pos) into one BIGINT so "earliest
+# occurrence" is a plain min() — map-side combinable, and the DuckDB
+# oracle can quote the same packing. Bounds: pos < 2^20 chunks/doc
+# (the ingest span cap guarantees far less) and doc_id < 2^43.
+CHUNK_POS_PACK = 1 << 20
+
+
+def chunk_dedup(docs: DataFrame, k: int = CHUNK_WORDS,
+                split_re: str | None = None, join_sep: str = " ",
+                fast_hash: bool = False) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup + document rebuild.
+
+    -> (doc_id, n_chunks, n_kept, text_dedup): per document the total
+    chunk count, surviving chunk count, and the text rebuilt from the
+    first-occurrence chunks in original order (docs whose text chunks
+    are all repeats survive with ``n_kept=0, text_dedup=''``).
+
+    Scale shape (the reason this is not a window function):
+
+    * chunking + hashing are per-row codegen (no Python);
+    * "earliest occurrence" is ``groupBy(h).min(packed_key)`` —
+      map-side partial aggregation, so a chunk repeated a billion
+      times ships ONE candidate row per task, never a billion rows to
+      one reducer (a window over ``h`` would do exactly that);
+    * the winner set joins back on the PACKED KEY, which is unique per
+      chunk row — a skew-free equi-join even when the hash key is
+      pathologically hot;
+    * chunk text crosses the doc-keyed rebuild shuffle once (it is the
+      payload being rebuilt); the hash-keyed exchange carries only
+      (h, packed_key) pairs.
+
+    ``fast_hash=True`` swaps the oracle-portable md5-60 for xxhash64
+    (production path, same contract).
+    """
+    if split_re is not None:
+        chunk_arr = F.split(F.col("text"), split_re)
+    else:
+        ws = F.split(F.col("text"), " ")
+        n_chunks = F.ceil(F.size(ws) / F.lit(float(k))).cast("int")
+        chunk_arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, (i * k + 1).cast("int"), k)))
+    ch = (
+        docs.select("doc_id", F.posexplode(chunk_arr)
+                    .alias("pos", "chunk"))
+        .filter(F.col("chunk") != "")
+        .withColumn("h", hash_col(F.col("chunk"), fast_hash))
+        .withColumn("wkey", F.col("doc_id") * F.lit(CHUNK_POS_PACK)
+                    + F.col("pos"))
+    )
+    winners = (ch.groupBy("h")
+               .agg(F.min("wkey").alias("wkey")).select("wkey"))
+    kept = ch.join(winners, "wkey")
+    per_doc = ch.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_kept"),
+             F.concat_ws(join_sep, F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("pos", "chunk"))),
+                 lambda s: s["chunk"])).alias("text_dedup"))
+    )
+    return (
+        per_doc.join(rebuilt, "doc_id", "left")
+        .select("doc_id", "n_chunks",
+                F.coalesce("n_kept", F.lit(0)).cast("long")
+                .alias("n_kept"),
+                F.coalesce("text_dedup", F.lit("")).alias("text_dedup"))
+    )
