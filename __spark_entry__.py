@@ -32,6 +32,7 @@ from document_parser_spark.config import (
     PY_WHITESPACE,
     REPLACEMENT_CHAR,
 )
+from document_parser_spark.ops import curation as cur
 from document_parser_spark.ops import decontam as dc
 from document_parser_spark.ops import dedup as dd
 from document_parser_spark.ops import lm as lmo
@@ -658,6 +659,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "n_chunks", "n_kept",
                           F.md5("text_dedup").alias("dedup_sig"))
     q["dedup_chunks"] = dedup_chunks
+
+    def curation(spark, sf):
+        """Composed curation recipe: lang gate -> quality gate ->
+        repetition gate -> exact-dedup survivors -> deterministic
+        sample, reported as per-source attrition counts. Every gate
+        reuses an operator that is independently oracle-verified; the
+        whole funnel shares one doc_id hash partitioning across its
+        joins (ReusedExchange)."""
+        return cur.curation_funnel(_tbl(spark, sf, "documents"))
+    q["curation_funnel"] = curation
 
     def lm_scores(spark, sf):
         """Corpus bigram-LM perplexity scoring (the CCNet quality
@@ -1426,6 +1437,70 @@ def oracle_sql() -> dict[str, str]:
           LIMIT 50
         """,
         "text_lang_id": lang_best,
+        "curation_funnel": f"""
+          WITH lang AS ({lang_best}),
+          qual AS (SELECT doc_id,
+              (CASE WHEN len(string_split(text, ' '))
+                         >= {ts.QUALITY_MIN_TOKENS}
+                    AND length(replace(text, ' ', '')) * 1.0
+                        / greatest(len(string_split(text, ' ')), 1)
+                        <= {ts.QUALITY_MAX_MEAN_WORD_LEN}
+               THEN 1 ELSE 0 END) AS quality_ok
+            FROM documents),
+          rw AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+          rbase AS (SELECT doc_id, len(ws)::bigint AS n_words,
+                           len(list_distinct(ws))::bigint AS n_uniq
+                    FROM rw),
+          rbg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+                  FROM rw, unnest(range(1, len(ws))) AS t(i)),
+          rcnt AS (SELECT doc_id, bg, count(*)::bigint AS c
+                   FROM rbg GROUP BY 1, 2),
+          rtop AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+                   FROM rcnt GROUP BY 1),
+          rep AS (SELECT b.doc_id,
+              (CASE WHEN round(1.0 - b.n_uniq * 1.0
+                             / greatest(b.n_words, 1), 3)
+                         <= {ts.REP_DUP_WORD_MAX}
+                    AND round(coalesce(t.top_c * 1.0 / t.n_bg, 0.0), 3)
+                         <= {ts.REP_TOP_BIGRAM_MAX}
+               THEN 1 ELSE 0 END) AS rep_ok
+            FROM rbase b LEFT JOIN rtop t ON b.doc_id = t.doc_id),
+          base AS (SELECT doc_id, source,
+                          md5({_norm_ws_lower_sql()}) AS fp
+                   FROM documents),
+          fl AS (SELECT b.doc_id, b.source, b.fp,
+                   (CASE WHEN l.lang_guess = '{cur.CURATION_LANG}'
+                    THEN 1 ELSE 0 END) AS f_lang,
+                   q.quality_ok, r.rep_ok
+                 FROM base b JOIN lang l USING (doc_id)
+                   JOIN qual q USING (doc_id)
+                   JOIN rep r USING (doc_id)),
+          f2 AS (SELECT *, (CASE WHEN f_lang = 1 AND quality_ok = 1
+                            THEN 1 ELSE 0 END) AS f_quality FROM fl),
+          f3 AS (SELECT *, (CASE WHEN f_quality = 1 AND rep_ok = 1
+                            THEN 1 ELSE 0 END) AS f_rep FROM f2),
+          f4 AS (SELECT *,
+                   (CASE WHEN f_rep = 1 AND doc_id =
+                        min(CASE WHEN f_rep = 1 THEN doc_id END)
+                        OVER (PARTITION BY fp)
+                    THEN 1 ELSE 0 END) AS f_dedup FROM f3),
+          f5 AS (SELECT *,
+                   (CASE WHEN f_dedup = 1
+                         AND ('0x' || substr(md5('{cur.CURATION_SEED}'
+                              || doc_id::varchar), 1, 15))::bigint
+                             % {smp.SAMPLE_MOD}
+                             < {int(cur.CURATION_SAMPLE_FRACTION
+                                    * smp.SAMPLE_MOD)}
+                    THEN 1 ELSE 0 END) AS f_sampled FROM f4)
+          SELECT source, count(*)::bigint AS n_input,
+                 sum(f_lang)::bigint AS n_lang,
+                 sum(f_quality)::bigint AS n_quality,
+                 sum(f_rep)::bigint AS n_rep,
+                 sum(f_dedup)::bigint AS n_dedup,
+                 sum(f_sampled)::bigint AS n_sampled
+          FROM f5 GROUP BY source
+        """,
         "text_rolling_fingerprints": _rolling_fp_oracle(),
         "extract_html_roundtrip": _extract_oracle("html"),
         "extract_html_rich_roundtrip": _html_rich_oracle(),

@@ -57,7 +57,8 @@ QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
            "f3_nfc_docx", "f3_docx_table_asymmetry",
            "multimodal_meta", "multimodal_decode_stub",
            "sample_hash_deterministic", "sample_stratified_fractions",
-           "sample_stratified_quota", "decontam_ngram_hits"]
+           "sample_stratified_quota", "decontam_ngram_hits",
+           "curation_funnel"]
 
 
 @pytest.fixture(scope="module")
