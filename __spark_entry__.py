@@ -40,6 +40,8 @@ from document_parser_spark.ops import retrieval as rtr
 from document_parser_spark.ops import multimodal as mm
 from document_parser_spark.ops import sampling as smp
 from document_parser_spark.ops import similarity as sim
+from document_parser_spark.ops import stats as st
+from document_parser_spark.ops import temporal as tmp
 from document_parser_spark.ops import textstats as ts
 from document_parser_spark.plans.pipeline import extract
 
@@ -1005,6 +1007,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["join_revenue_by_nation"] = revenue
 
+    # ---- temporal + corpus-statistics operators (r3 batch 2) -----------
+    def asof(spark, sf):
+        """Distributed as-of join: every 'view' event annotated with
+        the latest preceding (<=) 'click' of the same user — union +
+        ordered window, one key exchange, no range join."""
+        ev = _tbl(spark, sf, "events")
+        probes = (ev.filter(F.col("event_type") == "view")
+                  .select("event_id", "user_id", "ts"))
+        refs = ev.filter(F.col("event_type") == "click")
+        return (tmp.asof_join(probes, refs)
+                .select("event_id", "user_id", "ts", "ref_ts",
+                        F.round("ref_value", 3).alias("ref_value")))
+    q["events_asof_join"] = asof
+
+    def rollup(spark, sf):
+        """Hypertable-style multi-granularity rollup: (type, user),
+        (type), grand total in one pass with map-side partials."""
+        return tmp.event_rollup(_tbl(spark, sf, "events"))
+    q["events_rollup"] = rollup
+
+    def src_stats(spark, sf):
+        """Per-source corpus profile with EXACT median/p90 computed
+        from the value histogram — no per-group value buffering (the
+        Percentile-aggregate OOM shape), no global sort."""
+        return st.source_stats(_tbl(spark, sf, "documents"))
+    q["corpus_source_stats"] = src_stats
+
+    def qtiers(spark, sf):
+        """Exact global quartile tiers of doc length: boundaries from
+        one bounded histogram job, assignment a narrow map (the
+        skew-safe ntile replacement)."""
+        docs = _tbl(spark, sf, "documents")
+        return (st.quantile_tiers(docs, "n_chars")
+                .groupBy("tier")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.min("n_chars").cast("long").alias("lo"),
+                     F.max("n_chars").cast("long").alias("hi")))
+    q["text_quality_tiers"] = qtiers
+
+    def topk_src(spark, sf):
+        """Exact top-3 longest docs per source via the two-level
+        salted window (hot-group sort bounded by salt buckets)."""
+        docs = _tbl(spark, sf, "documents") \
+            .select("source", "doc_id", "n_chars")
+        return st.topk_per_group(docs, "source", "n_chars", 3)
+    q["top_docs_per_source"] = topk_src
+
     return q
 
 
@@ -1878,6 +1927,52 @@ def oracle_sql() -> dict[str, str]:
                  md5(string_agg(kind || '|' || txt || '|' || new_off::varchar,
                                 chr(31) ORDER BY new_off)) AS spans_sig
           FROM seq GROUP BY doc_id
+        """,
+        "events_asof_join": """
+          WITH r AS (SELECT user_id, ts, arg_max(value, event_id) AS rv
+                     FROM events WHERE event_type = 'click'
+                     GROUP BY user_id, ts),
+               p AS (SELECT event_id, user_id, ts FROM events
+                     WHERE event_type = 'view')
+          SELECT p.event_id, p.user_id, p.ts,
+                 r.ts AS ref_ts, round(r.rv, 3) AS ref_value
+          FROM p ASOF LEFT JOIN r
+          ON p.user_id = r.user_id AND p.ts >= r.ts
+        """,
+        "events_rollup": """
+          SELECT event_type, user_id,
+                 GROUPING(event_type, user_id)::bigint AS gid,
+                 count(*)::bigint AS n_events,
+                 round(sum(value), 2) AS sum_value
+          FROM events GROUP BY ROLLUP (event_type, user_id)
+        """,
+        "corpus_source_stats": """
+          SELECT source, count(*)::bigint AS n_docs,
+                 sum(n_chars)::bigint AS sum_chars,
+                 round(avg(n_chars), 3) AS avg_chars,
+                 round(quantile_cont(n_chars, 0.5), 3) AS q50,
+                 round(quantile_cont(n_chars, 0.9), 3) AS q90
+          FROM documents GROUP BY source
+        """,
+        "text_quality_tiers": """
+          WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS b1,
+                            quantile_cont(n_chars, 0.50) AS b2,
+                            quantile_cont(n_chars, 0.75) AS b3
+                     FROM documents)
+          SELECT ((n_chars > b1)::int + (n_chars > b2)::int
+                  + (n_chars > b3)::int)::bigint AS tier,
+                 count(*)::bigint AS n_docs,
+                 min(n_chars)::bigint AS lo,
+                 max(n_chars)::bigint AS hi
+          FROM documents, b GROUP BY 1
+        """,
+        "top_docs_per_source": """
+          SELECT source, doc_id, n_chars, rank FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id)
+                   ::bigint AS rank
+            FROM documents) WHERE rank <= 3
         """,
         # every queries() entry now has an oracle: extract_pipeline
         # gained its composed one (union of the two family
