@@ -40,6 +40,9 @@ from document_parser_spark.ops import retrieval as rtr
 from document_parser_spark.ops import multimodal as mm
 from document_parser_spark.ops import sampling as smp
 from document_parser_spark.ops import similarity as sim
+from document_parser_spark.ops import chunking as ck
+from document_parser_spark.ops import classify as clf
+from document_parser_spark.ops import embstats as es
 from document_parser_spark.ops import stats as st
 from document_parser_spark.ops import temporal as tmp
 from document_parser_spark.ops import textstats as ts
@@ -1054,6 +1057,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return st.topk_per_group(docs, "source", "n_chars", 3)
     q["top_docs_per_source"] = topk_src
 
+    # ---- classifier / chunking / embedding moments (r3 batch 3) --------
+    def clf_gate(spark, sf):
+        """fastText-shape hashed-linear quality gate: per-word md5
+        feature hashing + derived bucket weights folded into one
+        codegen aggregate — zero shuffles, integer-exact keep rule."""
+        return clf.hashed_linear_scores(_tbl(spark, sf, "documents"))
+    q["text_classifier_gate"] = clf_gate
+
+    def chunks(spark, sf):
+        """Sliding-window chunking (64-word windows, stride 48):
+        sequence + one Generate + slice, chunks produced where the
+        doc lives — no shuffle. md5 keeps the compare compact."""
+        out = ck.sliding_chunks(_tbl(spark, sf, "documents"))
+        return out.select("doc_id", "chunk_id", "n_tokens",
+                          F.md5("chunk_text").alias("chunk_md5"))
+    q["chunk_sliding_windows"] = chunks
+
+    def emb_cov(spark, sf):
+        """Distributed covariance of the embedding corpus (the PCA
+        build path): one mapInPandas moment fold (float64 matmul per
+        Arrow batch), dim^2-row reduce, broadcast mean assembly."""
+        return es.covariance_entries(_tbl(spark, sf, "embeddings"))
+    q["emb_covariance"] = emb_cov
+
     return q
 
 
@@ -1973,6 +2000,65 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n_chars DESC, doc_id)
                    ::bigint AS rank
             FROM documents) WHERE rank <= 3
+        """,
+        "text_classifier_gate": f"""
+          WITH w AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS ws
+                     FROM documents),
+          u AS (SELECT doc_id, len(ws)::bigint AS n_words,
+                  list_sum(list_transform(ws, x ->
+                    ('0x' || substr(md5('{clf.CLS_SEED}:' ||
+                       (('0x' || substr(md5(x), 1, 15))::bigint
+                        % {clf.HASH_DIM})::varchar), 1, 15))::bigint
+                    % {2 * clf.WEIGHT_UNITS + 1}
+                    - {clf.WEIGHT_UNITS}))::bigint AS sum_units
+                FROM w WHERE len(ws) > 0)
+          SELECT doc_id, n_words, sum_units,
+                 round(1.0 / (1.0 + exp(-(
+                   ({clf.CLS_SCALE} * sum_units
+                    + {clf.CLS_BIAS_MILLI} * n_words)
+                   / ({clf.WEIGHT_UNITS}.0 * n_words)))), 4)
+                   AS score,
+                 ({clf.CLS_SCALE} * sum_units
+                  + {clf.CLS_BIAS_MILLI} * n_words) >= 0 AS keep
+          FROM u
+        """,
+        "chunk_sliding_windows": f"""
+          WITH w AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS ws
+                     FROM documents),
+          c AS (SELECT doc_id, ws,
+                  CASE WHEN len(ws) <= {ck.CHUNK_WORDS} THEN 1
+                       ELSE 1 + (len(ws) - {ck.CHUNK_WORDS}
+                                 + {ck.CHUNK_STRIDE} - 1)
+                            // {ck.CHUNK_STRIDE} END AS nc
+                FROM w WHERE len(ws) > 0),
+          e AS (SELECT doc_id, ws, unnest(range(nc)) AS i FROM c)
+          SELECT doc_id, i::bigint AS chunk_id,
+                 len(ws[i * {ck.CHUNK_STRIDE} + 1 :
+                        i * {ck.CHUNK_STRIDE}
+                        + {ck.CHUNK_WORDS}])::bigint AS n_tokens,
+                 md5(array_to_string(
+                   ws[i * {ck.CHUNK_STRIDE} + 1 :
+                      i * {ck.CHUNK_STRIDE} + {ck.CHUNK_WORDS}],
+                   ' ')) AS chunk_md5
+          FROM e
+        """,
+        "emb_covariance": """
+          WITH u AS (SELECT vec_id, i,
+                       embedding[i]::double AS x
+                     FROM embeddings,
+                          unnest(range(1, len(embedding) + 1)) AS t(i))
+          SELECT (a.i - 1)::bigint AS i, (b.i - 1)::bigint AS j,
+                 -- + 0 folds -0.0 into +0.0 (C round keeps the sign
+                 -- bit, Spark's BigDecimal round does not)
+                 round((sum(a.x * b.x)
+                        - sum(a.x) * sum(b.x) / count(*))
+                       / (count(*) - 1), 6) + 0 AS cov
+          FROM u a JOIN u b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2
         """,
         # every queries() entry now has an oracle: extract_pipeline
         # gained its composed one (union of the two family

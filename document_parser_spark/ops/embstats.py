@@ -1,0 +1,137 @@
+"""Distributed second-moment statistics over embedding columns —
+the build path for PCA whitening / dimensionality reduction of a
+10^12-vector corpus.
+
+The only corpus-sized pass is ONE ``mapInPandas`` scan that folds
+each partition's vectors into a (dim x dim) Gram partial, a sum
+vector, and a count with a single float64 matmul per Arrow batch —
+the classic mergeable-moments decomposition (same discipline as
+``similarity.kmeans_fit_distributed``: per-partition numpy partials,
+O(dim^2) rows to the reduce, never a vector to the driver). The
+partials reduce with one map-side-combined ``groupBy(i, j)`` over
+``partitions x dim^2`` rows, and the covariance assembly then runs
+entirely on that dim^2-row relation (two broadcast self-joins for
+the mean terms). dim=1024 -> ~1M-row reduce regardless of corpus
+size.
+
+Eigendecomposition of the dim x dim covariance is a driver-side
+``numpy.linalg.eigh`` (microseconds at any corpus scale); the
+projection back over the corpus is one more narrow Arrow map with
+the component matrix broadcast. Sign convention: each component is
+flipped so its largest-|coordinate| entry is positive —
+``eigh``-order/sign instability never reaches the output.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def moment_partials(emb: DataFrame, vec_col: str = "embedding",
+                    ) -> DataFrame:
+    """(i, j, v) second/first/zeroth-moment sums over all vectors:
+    rows with ``i>=0, j>=0`` carry ``sum(x_i * x_j)``; ``(i, -1)``
+    carries ``sum(x_i)``; ``(-1, -1)`` carries the count."""
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            gram = x.T @ x if gram is None else gram + x.T @ x
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            n += len(x)
+        if gram is None:
+            return
+        dim = gram.shape[0]
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim),
+                             indexing="ij")
+        yield pd.DataFrame({
+            "i": np.concatenate([ii.ravel(), np.arange(dim), [-1]]),
+            "j": np.concatenate([jj.ravel(), np.full(dim, -1), [-1]]),
+            "v": np.concatenate([gram.ravel(), s, [float(n)]]),
+        })
+
+    return (emb.select(vec_col)
+            .mapInPandas(fold, schema="i int, j int, v double")
+            .groupBy("i", "j").agg(F.sum("v").alias("v")))
+
+
+def covariance_entries(emb: DataFrame, vec_col: str = "embedding",
+                       ndigits: int = 6) -> DataFrame:
+    """Sample covariance matrix as (i, j, cov) rows, 0-indexed:
+    ``cov = (G_ij - s_i s_j / n) / (n - 1)`` assembled from
+    :func:`moment_partials` — every join below touches dim^2 rows,
+    not the corpus."""
+    m = moment_partials(emb, vec_col)
+    g = m.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+    s = m.filter((F.col("i") >= 0) & (F.col("j") == -1)) \
+         .select(F.col("i").alias("k"), F.col("v").alias("s"))
+    n = m.filter(F.col("i") == -1).select(F.col("v").alias("n"))
+    return (g
+            .join(F.broadcast(s.withColumnRenamed("k", "i")
+                              .withColumnRenamed("s", "si")), "i")
+            .join(F.broadcast(s.withColumnRenamed("k", "j")
+                              .withColumnRenamed("s", "sj")), "j")
+            .crossJoin(F.broadcast(n))
+            .select(F.col("i").cast("long").alias("i"),
+                    F.col("j").cast("long").alias("j"),
+                    # + 0.0 folds IEEE -0.0 into +0.0: near-zero
+                    # covariances keep a sign bit through C-library
+                    # rounding (the DuckDB oracle) but not through
+                    # BigDecimal (Spark) — normalize both sides
+                    (F.round((F.col("v")
+                              - F.col("si") * F.col("sj") / F.col("n"))
+                             / (F.col("n") - 1), ndigits)
+                     + F.lit(0.0)).alias("cov")))
+
+
+def pca_components(emb: DataFrame, k: int,
+                   vec_col: str = "embedding") -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """Top-k principal components from the distributed covariance.
+
+    Returns ``(components[k, dim], explained_variance[k])``. The
+    corpus never reaches the driver — only the dim^2 covariance
+    entries do."""
+    rows = covariance_entries(emb, vec_col, ndigits=12).collect()
+    dim = max(r["i"] for r in rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, order].T
+    for c in comp:                       # deterministic sign
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    return comp, vals[order]
+
+
+def pca_project(emb: DataFrame, components: np.ndarray,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Project every vector onto the (broadcast) component matrix —
+    one narrow Arrow map, float64 matmul per batch.
+
+    -> (id_col, projected: array<double>)."""
+    comp = components.astype(np.float64)
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "projected": list(x @ comp.T),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        proj, schema=f"{id_col} long, projected array<double>")
