@@ -33,9 +33,14 @@ from pyspark.sql import DataFrame, functions as F
 
 def moment_partials(emb: DataFrame, vec_col: str = "embedding",
                     ) -> DataFrame:
-    """(i, j, v) second/first/zeroth-moment sums over all vectors:
-    rows with ``i>=0, j>=0`` carry ``sum(x_i * x_j)``; ``(i, -1)``
-    carries ``sum(x_i)``; ``(-1, -1)`` carries the count."""
+    """Per-partition moment partials, one row per (i, j) pair:
+    ``g = sum(x_i * x_j)``, ``si = sum(x_i)``, ``sj = sum(x_j)``,
+    ``n = count`` over the partition's vectors. Denormalizing the
+    first moments onto every pair row costs dim^2 x 3 extra doubles
+    per partition and buys a JOIN-FREE reduce — one map-side-combined
+    ``groupBy(i, j)`` yields everything covariance needs row-locally
+    (no scalar crossJoin, which Catalyst folds into the nested-loop
+    plan the repo-wide audit bans)."""
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gram = None
         s = None
@@ -53,40 +58,32 @@ def moment_partials(emb: DataFrame, vec_col: str = "embedding",
         ii, jj = np.meshgrid(np.arange(dim), np.arange(dim),
                              indexing="ij")
         yield pd.DataFrame({
-            "i": np.concatenate([ii.ravel(), np.arange(dim), [-1]]),
-            "j": np.concatenate([jj.ravel(), np.full(dim, -1), [-1]]),
-            "v": np.concatenate([gram.ravel(), s, [float(n)]]),
+            "i": ii.ravel(), "j": jj.ravel(), "g": gram.ravel(),
+            "si": s[ii.ravel()], "sj": s[jj.ravel()],
+            "n": np.full(dim * dim, float(n)),
         })
 
     return (emb.select(vec_col)
-            .mapInPandas(fold, schema="i int, j int, v double")
-            .groupBy("i", "j").agg(F.sum("v").alias("v")))
+            .mapInPandas(fold, schema="i int, j int, g double, "
+                                      "si double, sj double, n double")
+            .groupBy("i", "j")
+            .agg(F.sum("g").alias("g"), F.sum("si").alias("si"),
+                 F.sum("sj").alias("sj"), F.sum("n").alias("n")))
 
 
 def covariance_entries(emb: DataFrame, vec_col: str = "embedding",
                        ndigits: int = 6) -> DataFrame:
     """Sample covariance matrix as (i, j, cov) rows, 0-indexed:
-    ``cov = (G_ij - s_i s_j / n) / (n - 1)`` assembled from
-    :func:`moment_partials` — every join below touches dim^2 rows,
-    not the corpus."""
-    m = moment_partials(emb, vec_col)
-    g = m.filter((F.col("i") >= 0) & (F.col("j") >= 0))
-    s = m.filter((F.col("i") >= 0) & (F.col("j") == -1)) \
-         .select(F.col("i").alias("k"), F.col("v").alias("s"))
-    n = m.filter(F.col("i") == -1).select(F.col("v").alias("n"))
-    return (g
-            .join(F.broadcast(s.withColumnRenamed("k", "i")
-                              .withColumnRenamed("s", "si")), "i")
-            .join(F.broadcast(s.withColumnRenamed("k", "j")
-                              .withColumnRenamed("s", "sj")), "j")
-            .crossJoin(F.broadcast(n))
+    ``cov = (G_ij - s_i s_j / n) / (n - 1)`` — a row-local select
+    over :func:`moment_partials`' dim^2-row reduce."""
+    return (moment_partials(emb, vec_col)
             .select(F.col("i").cast("long").alias("i"),
                     F.col("j").cast("long").alias("j"),
                     # + 0.0 folds IEEE -0.0 into +0.0: near-zero
                     # covariances keep a sign bit through C-library
                     # rounding (the DuckDB oracle) but not through
                     # BigDecimal (Spark) — normalize both sides
-                    (F.round((F.col("v")
+                    (F.round((F.col("g")
                               - F.col("si") * F.col("sj") / F.col("n"))
                              / (F.col("n") - 1), ndigits)
                      + F.lit(0.0)).alias("cov")))

@@ -12,21 +12,24 @@ blowup) and NOT a per-row Python loop:
      broken by the highest ``tie_col`` so the operator is a pure
      function of its input;
   2. union reference and probe rows with a tag ordering references
-     FIRST at equal timestamps (as-of is ``<=``);
-  3. one window per key ordered by (ts, tag, ...):
+     FIRST at equal timestamps (as-of is ``<=``); every probe column
+     beyond (key, ts) rides along inside one struct, so nothing has
+     to be joined back afterwards;
+  3. one window per key ordered by (ts, tag):
      ``last(ref_value, ignorenulls=True)`` over the unbounded
      preceding frame carries the latest reference forward;
-  4. keep probe rows.
+  4. keep probe rows and unpack the struct.
 
 Cost: ONE hash exchange of (refs ∪ probes) on the key + an in-
-partition sort — the distributed merge-join shape, linear in input.
+partition sort — the distributed merge-join shape, linear in input
+(the plan audit in tests/test_plans.py asserts the single exchange).
 Skew: a single hot key serializes into one partition's sort; the
 bucketed variant (``asof_join_bucketed``) splits each key's timeline
 into contiguous time buckets, computes bucket-local as-of, and
 carries the per-bucket last reference forward through a SECOND
-window over the (key, bucket) relation — whose row count is bounded
-by key-count × bucket-count, not by events. Both variants return
-bit-identical results (asserted in tests).
+window over the (key, bucket) summary relation — whose row count is
+bounded by key-count × bucket-count, not by events. Both variants
+return bit-identical results (asserted in tests).
 """
 
 from __future__ import annotations
@@ -35,6 +38,37 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 ASOF_REF_TAG = 0
 ASOF_PROBE_TAG = 1
+
+
+def _tagged_union(probes: DataFrame, refs: DataFrame, key: str,
+                  ts: str, ref_value: str,
+                  tie_col: str) -> tuple[DataFrame, list[str]]:
+    """(key, _ts, _tag, _rv, _ex): reduced references ∪ probes, with
+    every probe column except the key and timestamp packed into the
+    ``_ex`` struct (NULL on reference rows)."""
+    extras = [c for c in probes.columns if c not in (key, ts)]
+    if not extras:
+        raise ValueError("probes need at least one column besides "
+                         f"{key!r} and {ts!r} (an id to return)")
+    p = probes.select(key, F.col(ts).alias("_ts"),
+                      F.lit(ASOF_PROBE_TAG).alias("_tag"),
+                      F.lit(None).cast(
+                          refs.schema[ref_value].dataType).alias("_rv"),
+                      F.struct(*extras).alias("_ex"))
+    r = (refs.groupBy(key, ts)
+         .agg(F.max_by(ref_value, tie_col).alias("_rv"))
+         .select(key, F.col(ts).alias("_ts"),
+                 F.lit(ASOF_REF_TAG).alias("_tag"), "_rv",
+                 F.lit(None).cast(p.schema["_ex"].dataType)
+                 .alias("_ex")))
+    return r.unionByName(p), extras
+
+
+def _unpack(out: DataFrame, key: str, ts: str,
+            extras: list[str]) -> DataFrame:
+    return out.select(
+        *[F.col(f"_ex.{c}").alias(c) for c in extras],
+        key, F.col("_ts").alias(ts), "ref_ts", "ref_value")
 
 
 def asof_join(probes: DataFrame, refs: DataFrame, key: str = "user_id",
@@ -46,18 +80,8 @@ def asof_join(probes: DataFrame, refs: DataFrame, key: str = "user_id",
     -> probes' columns + (ref_ts, ref_value); probes with no earlier
     reference keep NULLs (left semantics).
     """
-    r = (refs.groupBy(key, ts)
-         .agg(F.max_by(ref_value, tie_col).alias("_rv"))
-         .select(key, F.col(ts).alias("_ts"),
-                 F.lit(ASOF_REF_TAG).alias("_tag"),
-                 F.col("_rv"), F.lit(None).cast("long").alias("_pid")))
-    p = probes.select(key, F.col(ts).alias("_ts"),
-                      F.lit(ASOF_PROBE_TAG).alias("_tag"),
-                      F.lit(None).cast(
-                          refs.schema[ref_value].dataType).alias("_rv"),
-                      F.col(tie_col).alias("_pid"))
-    u = r.unionByName(p)
-    w = (Window.partitionBy(key).orderBy("_ts", "_tag", "_pid")
+    u, extras = _tagged_union(probes, refs, key, ts, ref_value, tie_col)
+    w = (Window.partitionBy(key).orderBy("_ts", "_tag")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = (u.withColumn("ref_value",
                             F.last("_rv", ignorenulls=True).over(w))
@@ -65,11 +89,8 @@ def asof_join(probes: DataFrame, refs: DataFrame, key: str = "user_id",
                            F.last(F.when(F.col("_tag") == ASOF_REF_TAG,
                                          F.col("_ts")),
                                   ignorenulls=True).over(w)))
-    out = (carried.filter(F.col("_tag") == ASOF_PROBE_TAG)
-           .select(F.col("_pid").alias(tie_col), key,
-                   F.col("_ts").alias(ts), "ref_ts", "ref_value"))
-    return probes.drop("ref_ts", "ref_value").join(
-        out.select(tie_col, "ref_ts", "ref_value"), tie_col)
+    return _unpack(carried.filter(F.col("_tag") == ASOF_PROBE_TAG),
+                   key, ts, extras)
 
 
 def asof_join_bucketed(probes: DataFrame, refs: DataFrame,
@@ -88,20 +109,10 @@ def asof_join_bucketed(probes: DataFrame, refs: DataFrame,
     non-empty (key, bucket)) and joined back — probes whose bucket
     holds no earlier reference fall back to the carried value.
     """
-    r = (refs.groupBy(key, ts)
-         .agg(F.max_by(ref_value, tie_col).alias("_rv"))
-         .select(key, F.col(ts).alias("_ts"),
-                 F.lit(ASOF_REF_TAG).alias("_tag"), "_rv",
-                 F.lit(None).cast("long").alias("_pid")))
-    p = probes.select(key, F.col(ts).alias("_ts"),
-                      F.lit(ASOF_PROBE_TAG).alias("_tag"),
-                      F.lit(None).cast(
-                          refs.schema[ref_value].dataType).alias("_rv"),
-                      F.col(tie_col).alias("_pid"))
-    u = (r.unionByName(p)
-         .withColumn("_bkt", (F.unix_timestamp(F.col("_ts"))
-                              / F.lit(bucket_s)).cast("long")))
-    wl = (Window.partitionBy(key, "_bkt").orderBy("_ts", "_tag", "_pid")
+    u, extras = _tagged_union(probes, refs, key, ts, ref_value, tie_col)
+    u = u.withColumn("_bkt", (F.unix_timestamp(F.col("_ts"))
+                              / F.lit(bucket_s)).cast("long"))
+    wl = (Window.partitionBy(key, "_bkt").orderBy("_ts", "_tag")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = (u.withColumn("_lrv", F.last("_rv", ignorenulls=True).over(wl))
              .withColumn("_lrt", F.last(
@@ -130,12 +141,9 @@ def asof_join_bucketed(probes: DataFrame, refs: DataFrame,
                .select(key, "_bkt", "_crv", "_crt"))
     out = (local.filter(F.col("_tag") == ASOF_PROBE_TAG)
            .join(carried, [key, "_bkt"], "left")
-           .select(F.col("_pid").alias(tie_col), key,
-                   F.col("_ts").alias(ts),
-                   F.coalesce("_lrt", "_crt").alias("ref_ts"),
-                   F.coalesce("_lrv", "_crv").alias("ref_value")))
-    return probes.drop("ref_ts", "ref_value").join(
-        out.select(tie_col, "ref_ts", "ref_value"), tie_col)
+           .withColumn("ref_ts", F.coalesce("_lrt", "_crt"))
+           .withColumn("ref_value", F.coalesce("_lrv", "_crv")))
+    return _unpack(out, key, ts, extras)
 
 
 def event_rollup(events: DataFrame, dims: tuple[str, ...] =

@@ -183,3 +183,49 @@ def test_ann_topk_partial_per_partition(spark):
     q = [0.0] * 63 + [1.0]
     p = plan(cosine_to_query(emb, q, k=10))
     assert "TakeOrderedAndProject" in p
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join is one hash exchange on the key (the union +
+    window formulation) — no join-back, no range join, no cartesian."""
+    from document_parser_spark.ops.temporal import asof_join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    probes = (ev.filter(F.col("event_type") == "view")
+              .select("event_id", "user_id", "ts"))
+    refs = ev.filter(F.col("event_type") == "click")
+    p = plan(asof_join(probes, refs), mode="simple")
+    n_exchange = p.count("Exchange hashpartitioning")
+    # one exchange feeds the per-key window; the reference-side
+    # groupBy(key, ts) partial agg may add its own (same key prefix)
+    assert 1 <= n_exchange <= 2, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_classifier_is_shuffle_free(spark):
+    """The hashed-linear gate is a narrow map: no Exchange at all."""
+    from document_parser_spark.ops.classify import hashed_linear_scores
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(hashed_linear_scores(docs))
+    assert "Exchange" not in p, p
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Sliding chunks are produced where the doc lives: a Generate
+    (explode) but no Exchange."""
+    from document_parser_spark.ops.chunking import sliding_chunks
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(sliding_chunks(docs))
+    assert "Generate" in p and "Exchange" not in p, p
+
+
+def test_covariance_reduce_is_bounded(spark):
+    """The embedding moment fold reduces dim^2-scale rows: the plan
+    is one ArrowEvalPython/MapInPandas pass + one hash aggregate —
+    never a corpus-wide self-join."""
+    from document_parser_spark.ops.embstats import covariance_entries
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(covariance_entries(emb))
+    assert "MapInPandas" in p or "mapInPandas" in p, p
+    assert "CartesianProduct" not in p
+    # mean assembly joins are broadcast (dim-row sides)
+    assert "SortMergeJoin" not in p, p
