@@ -1081,6 +1081,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return es.covariance_entries(_tbl(spark, sf, "embeddings"))
     q["emb_covariance"] = emb_cov
 
+    def json_props(spark, sf):
+        """JSON property extraction (SURVEY §2.10): from_json with an
+        explicit schema — a codegen scalar, no UDF — then a map-side-
+        combined profile of the extracted field per event type."""
+        ev = _tbl(spark, sf, "events")
+        k = F.from_json(F.col("props"), "k int")["k"]
+        return (ev.select("event_type", k.alias("k"))
+                .groupBy("event_type")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.count("k").cast("long").alias("n_with_k"),
+                     F.min("k").cast("long").alias("min_k"),
+                     F.max("k").cast("long").alias("max_k"),
+                     F.round(F.avg("k"), 3).alias("avg_k")))
+    q["events_json_props"] = json_props
+
     return q
 
 
@@ -2045,6 +2060,15 @@ def oracle_sql() -> dict[str, str]:
                       i * {ck.CHUNK_STRIDE} + {ck.CHUNK_WORDS}],
                    ' ')) AS chunk_md5
           FROM e
+        """,
+        "events_json_props": """
+          SELECT event_type, count(*)::bigint AS n,
+                 count(json_extract(props, '$.k'))::bigint AS n_with_k,
+                 min(json_extract(props, '$.k')::bigint) AS min_k,
+                 max(json_extract(props, '$.k')::bigint) AS max_k,
+                 round(avg(json_extract(props, '$.k')::bigint), 3)
+                   AS avg_k
+          FROM events GROUP BY event_type
         """,
         "emb_covariance": """
           WITH u AS (SELECT vec_id, i,
