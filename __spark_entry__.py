@@ -1057,6 +1057,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return st.topk_per_group(docs, "source", "n_chars", 3)
     q["top_docs_per_source"] = topk_src
 
+    def len_trim(spark, sf):
+        """Per-language length-outlier trim (C4/Gopher tail drop):
+        exact integer-CDF cuts from the bounded (lang, length)
+        histogram, cuts broadcast back — corpus never sorted."""
+        return st.length_outlier_trim(_tbl(spark, sf, "documents"))
+    q["text_length_outliers"] = len_trim
+
     # ---- classifier / chunking / embedding moments (r3 batch 3) --------
     def clf_gate(spark, sf):
         """fastText-shape hashed-linear quality gate: per-word md5
@@ -2015,6 +2022,31 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n_chars DESC, doc_id)
                    ::bigint AS rank
             FROM documents) WHERE rank <= 3
+        """,
+        "text_length_outliers": """
+          WITH h AS (SELECT lang, n_chars, count(*)::bigint AS c
+                     FROM documents WHERE n_chars IS NOT NULL
+                     GROUP BY lang, n_chars),
+          t AS (SELECT lang, n_chars, c,
+                       sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS tot
+                FROM h),
+          cuts AS (SELECT lang,
+                     min(CASE WHEN cum * 100 >= 5 * tot
+                              THEN n_chars END)::bigint AS lo_cut,
+                     min(CASE WHEN cum * 100 >= 95 * tot
+                              THEN n_chars END)::bigint AS hi_cut
+                   FROM t GROUP BY lang)
+          SELECT d.lang, lo_cut, hi_cut,
+                 sum((n_chars BETWEEN lo_cut AND hi_cut)::int)::bigint
+                   AS kept_docs,
+                 sum((n_chars NOT BETWEEN lo_cut AND hi_cut)::int)::bigint
+                   AS dropped_docs,
+                 sum(CASE WHEN n_chars BETWEEN lo_cut AND hi_cut
+                          THEN n_chars ELSE 0 END)::bigint AS kept_chars
+          FROM documents d JOIN cuts USING (lang)
+          GROUP BY d.lang, lo_cut, hi_cut
         """,
         "text_classifier_gate": f"""
           WITH w AS (SELECT doc_id,

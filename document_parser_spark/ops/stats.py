@@ -135,6 +135,48 @@ def source_stats(docs: DataFrame, key: str = "source",
     return basic.join(quants, key)
 
 
+def length_outlier_trim(docs: DataFrame, key: str = "lang",
+                        col: str = "n_chars",
+                        lo_pct: int = 5, hi_pct: int = 95) -> DataFrame:
+    """Per-group length-outlier trim (the C4/Gopher-style "drop the
+    shortest/longest tail per language" curation gate) with EXACT
+    empirical-CDF cuts and no per-group sort of the corpus.
+
+    Cut rule, integer arithmetic only (reproducible bit-exactly in
+    ANSI SQL — no 0.05*count double-vs-decimal boundary ambiguity):
+    ``lo_cut = min value v with cum_count(v) * 100 >= lo_pct * total``
+    and likewise ``hi_cut`` at ``hi_pct``; a doc survives iff
+    ``lo_cut <= value <= hi_cut``.
+
+    Shape at 100 TB: one map-side-combined ``groupBy(key, value)``
+    histogram (bounded by distinct (lang, length) pairs, not rows),
+    one window over that bounded relation, then the cuts — O(#langs)
+    rows — broadcast back onto the corpus for a shuffle-free final
+    tally. The heavy input is touched twice, never sorted.
+
+    -> (key, lo_cut, hi_cut, kept_docs, dropped_docs, kept_chars).
+    """
+    hist = (docs.filter(F.col(col).isNotNull())
+            .groupBy(key, col).agg(F.count("*").cast("long").alias("_c")))
+    w = (Window.partitionBy(key).orderBy(col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h = (hist
+         .withColumn("_cum", F.sum("_c").over(w))
+         .withColumn("_tot", F.sum("_c").over(Window.partitionBy(key))))
+    cuts = h.groupBy(key).agg(
+        F.min(F.when(F.col("_cum") * 100 >= F.lit(lo_pct) * F.col("_tot"),
+                     F.col(col))).cast("long").alias("lo_cut"),
+        F.min(F.when(F.col("_cum") * 100 >= F.lit(hi_pct) * F.col("_tot"),
+                     F.col(col))).cast("long").alias("hi_cut"))
+    keep = (F.col(col) >= F.col("lo_cut")) & (F.col(col) <= F.col("hi_cut"))
+    return (docs.join(F.broadcast(cuts), key)
+            .groupBy(key, "lo_cut", "hi_cut")
+            .agg(F.sum(keep.cast("long")).alias("kept_docs"),
+                 F.sum((~keep).cast("long")).alias("dropped_docs"),
+                 F.sum(F.when(keep, F.col(col)).otherwise(F.lit(0)))
+                 .cast("long").alias("kept_chars")))
+
+
 def topk_per_group(df: DataFrame, key: str, order_col: str, k: int,
                    tie_col: str = "doc_id",
                    salt_buckets: int = TOPK_SALT_BUCKETS) -> DataFrame:

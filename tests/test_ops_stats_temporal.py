@@ -162,3 +162,30 @@ def test_event_rollup_levels(spark):
     # sum_value consistency at every level
     assert total[0].sum_value == pytest.approx(
         round(sum(v for *_, v in rows), 2), abs=0.05)
+
+
+def test_length_outlier_trim_matches_bruteforce(spark):
+    rng = random.Random(11)
+    rows = [(i, f"l{i % 4}", rng.randrange(1, 200)) for i in range(800)]
+    # exercise the tie-heavy path too: one lang with few distinct values
+    rows += [(1000 + i, "tied", 50 + (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r.lang: r for r in st.length_outlier_trim(df).collect()}
+    langs = {g for _, g, _ in rows}
+    assert set(got) == langs
+    for g in langs:
+        vals = sorted(n for _, lg, n in rows if lg == g)
+        tot = len(vals)
+        cum, lo_cut, hi_cut = 0, None, None
+        hist = sorted({v: vals.count(v) for v in vals}.items())
+        for v, c in hist:
+            cum += c
+            if lo_cut is None and cum * 100 >= 5 * tot:
+                lo_cut = v
+            if hi_cut is None and cum * 100 >= 95 * tot:
+                hi_cut = v
+        kept = [v for v in vals if lo_cut <= v <= hi_cut]
+        r = got[g]
+        assert (r.lo_cut, r.hi_cut) == (lo_cut, hi_cut), g
+        assert r.kept_docs == len(kept) and r.dropped_docs == tot - len(kept)
+        assert r.kept_chars == sum(kept)
