@@ -77,7 +77,7 @@ def test_ngram_max_df_cap_semantics(spark):
 def test_shingle_cache_released_by_clearcache(spark, docs):
     """The shingle persists are session-bounded: one cache entry per
     canonical plan while a query family runs, and clearCache (bench.py
-    applies it between queries) must release every block."""
+    applies it between measurement phases) must release every block."""
     sc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
     dd.ngram_jaccard_pairs(docs).count()
