@@ -765,6 +765,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dc.contamination_hits(corpus, bench, n=4)
     q["decontam_ngram_hits"] = decontam_hits
 
+    def decontam_fuzzy(spark, sf):
+        """Fuzzy decontamination: MinHash-LSH candidates between the
+        corpus and the broadcast held-out tier, exact-Jaccard
+        verified (dedup kernel reused verbatim)."""
+        d = _tbl(spark, sf, "documents")
+        bench = d.filter(F.pmod("doc_id", F.lit(10)) == 0)
+        corpus = d.filter(F.pmod("doc_id", F.lit(10)) != 0)
+        return dc.fuzzy_contamination(corpus, bench)
+    q["decontam_fuzzy"] = decontam_fuzzy
+
     # ---- similarity search ----------------------------------------------
     def ann_threshold(spark, sf):
         e = _tbl(spark, sf, "embeddings")
@@ -1294,6 +1304,67 @@ def _minhash_oracle(jaccard_tail: str) -> str:
         """
 
 
+def _fuzzy_decontam_oracle() -> str:
+    """Fuzzy-decontam oracle: the dedup MinHash chain (same 60-bit
+    shingle hash, same quoted affine maps, same band md5) replayed on
+    the corpus/benchmark split, then exact Jaccard on candidates."""
+    p = dd.MINHASH_PRIME
+    params = dd.minhash_params(dd.MINHASH_HASHERS)
+    rows_per_band = dd.MINHASH_HASHERS // dd.MINHASH_BANDS
+    mins = ",\n                 ".join(
+        f"min(({a} * hv + {b}) % {p}) AS m{k}"
+        for k, (a, b) in enumerate(params))
+
+    def band_rows(src: str) -> str:
+        return "\n          UNION ALL\n".join(
+            "          SELECT doc_id, {b} AS band, md5({cat}) AS sig"
+            " FROM {src}"
+            .format(b=b, src=src, cat=" || ',' || ".join(
+                f"m{b * rows_per_band + j}::varchar"
+                for j in range(rows_per_band)))
+            for b in range(dd.MINHASH_BANDS))
+
+    return f"""
+          WITH {_SH_CTE},
+          csh AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+          bsh AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+          chv AS (SELECT doc_id, sh % {p} AS hv FROM csh),
+          bhv AS (SELECT doc_id, sh % {p} AS hv FROM bsh),
+          cmh AS (SELECT doc_id,
+                 {mins}
+                 FROM chv GROUP BY doc_id),
+          bmh AS (SELECT doc_id,
+                 {mins}
+                 FROM bhv GROUP BY doc_id),
+          cbd AS (
+{band_rows('cmh')}
+          ),
+          bbd AS (
+{band_rows('bmh')}
+          ),
+          cand AS (SELECT DISTINCT c.doc_id AS doc_id,
+                          b.doc_id AS bench_id
+                   FROM cbd c JOIN bbd b
+                   ON c.band = b.band AND c.sig = b.sig),
+          inter AS (SELECT cand.doc_id, cand.bench_id,
+                           count(*)::bigint AS i
+                    FROM cand
+                    JOIN csh x ON x.doc_id = cand.doc_id
+                    JOIN bsh y ON y.doc_id = cand.bench_id
+                              AND y.sh = x.sh
+                    GROUP BY 1, 2),
+          na AS (SELECT doc_id, count(*)::bigint AS n FROM csh GROUP BY 1),
+          nb AS (SELECT doc_id, count(*)::bigint AS n FROM bsh GROUP BY 1)
+          SELECT i2.doc_id, i2.bench_id,
+                 round(i2.i * 1.0 / (na.n + nb.n - i2.i), 3) AS jaccard
+          FROM inter i2
+          JOIN na ON i2.doc_id = na.doc_id
+          JOIN nb ON i2.bench_id = nb.doc_id
+          WHERE round(i2.i * 1.0 / (na.n + nb.n - i2.i), 3)
+                >= {dd.JACCARD_THRESHOLD}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = ",".join(f"'{s}'" for s in ts.STOPWORDS["en"])
     # ascii fold, not lower(): see _ascii_lower_sql (utf8proc would
@@ -1705,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
           FROM dft
         """,
         "dedup_minhash_lsh": _minhash_oracle(jaccard_tail),
+        "decontam_fuzzy": _fuzzy_decontam_oracle(),
         "dedup_cluster_components": f"""
           WITH RECURSIVE {_cluster_ctes()}
           SELECT src AS doc_id, least(src, min(dst)) AS rep

@@ -96,3 +96,28 @@ def test_decontaminate_removes_flagged(contam):
     corpus, bench = contam
     left = {r.doc_id for r in dc.decontaminate(corpus, bench).collect()}
     assert left == {2}
+
+
+def test_fuzzy_contamination_finds_neardup_of_benchmark(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    near = base.replace("tonight", "today")        # one word differs
+    corpus = spark.createDataFrame(
+        [(1, near), (2, "completely unrelated words describing other "
+                        "things entirely with no shared phrases here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = {(r.doc_id, r.bench_id): r.jaccard
+           for r in dc.fuzzy_contamination(corpus, bench).collect()}
+    # expected exact jaccard of distinct word-3-gram sets
+    def sh3(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i+3]) for i in range(len(w) - 2)}
+    a, b = sh3(near), sh3(base)
+    want = round(len(a & b) / len(a | b), 3)
+    assert got == {(1, 100): want}
+    # verification is exact: identical docs give jaccard 1.0
+    got2 = dc.fuzzy_contamination(
+        spark.createDataFrame([(3, base)], "doc_id long, text string"),
+        bench).collect()
+    assert [(r.doc_id, r.bench_id, r.jaccard) for r in got2] == [(3, 100, 1.0)]
