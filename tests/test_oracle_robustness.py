@@ -58,7 +58,7 @@ QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
            "multimodal_meta", "multimodal_decode_stub",
            "sample_hash_deterministic", "sample_stratified_fractions",
            "sample_stratified_quota", "decontam_ngram_hits",
-           "curation_funnel", "text_length_outliers"]
+           "curation_funnel", "text_length_outliers", "decontam_fuzzy"]
 
 
 @pytest.fixture(scope="module")
