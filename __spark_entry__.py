@@ -1113,6 +1113,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.avg("k"), 3).alias("avg_k")))
     q["events_json_props"] = json_props
 
+    def quantize(spark, sf):
+        """Symmetric per-vector int8 quantization (ops/embstats.py):
+        a pure codegen row map — scale, quantized-vector signature and
+        reconstruction error all replayed bit-for-bit by the oracle's
+        identical IEEE-double chain."""
+        out = es.quantize_int8(_tbl(spark, sf, "embeddings"))
+        return out.select(
+            "vec_id", F.round("scale", 6).alias("scale"),
+            F.md5(F.concat_ws(",", F.col("qvec").cast("array<string>")))
+            .alias("qsig"),
+            F.round("max_abs_err", 6).alias("max_abs_err"))
+    q["emb_quantize_int8"] = quantize
+
+    def shuffle_pos(spark, sf):
+        """Deterministic epoch-shuffle order (ops/packing.py): seeded
+        portable-hash permutation via the two-level bucketed scan; the
+        oracle is ONE global row_number over the same keys."""
+        from document_parser_spark.ops.packing import shuffle_order
+        return shuffle_order(
+            _tbl(spark, sf, "documents").select("doc_id"),
+            seed="epoch-0", buckets=64)
+    q["shuffle_global_order"] = shuffle_pos
+
+    def blockgate(spark, sf):
+        """C4-style banned-term gate: literal blocklist folded into one
+        codegen row map (broadcast-join twin unit-tested equal)."""
+        return ts.blocklist_stats(_tbl(spark, sf, "documents"))
+    q["text_blocklist_gate"] = blockgate
+
+    def entropy(spark, sf):
+        """Word-distribution Shannon entropy (lexical-diversity quality
+        axis): two map-side-combined aggregations, counts-only
+        shuffles."""
+        return ts.entropy_stats(_tbl(spark, sf, "documents"))
+    q["text_entropy_stats"] = entropy
+
+    def winnow(spark, sf):
+        """Winnowing fingerprint selection (MOSS scheme) over the
+        rolling Rabin-Karp stream — window minima computed IN-ROW
+        (sequence+slice+array_min), zero shuffle."""
+        out = ts.winnow_fingerprints(_tbl(spark, sf, "documents"))
+        return out.select(
+            "doc_id", "n_windows", "n_selected",
+            F.md5(F.concat_ws(",", F.col("selected")
+                              .cast("array<string>"))).alias("sel_sig"))
+    q["text_winnow_fingerprints"] = winnow
+
     return q
 
 
@@ -1155,6 +1202,49 @@ def _rolling_fp_oracle(window: int = 8) -> str:
       SELECT doc_id, len(fps)::bigint AS n_windows,
              md5(coalesce(array_to_string(fps, ','), '')) AS fp_sig
       FROM f
+    """
+
+
+_BLOCK_IN = ",".join(repr(t) for t in ts.BLOCKLIST_DEFAULT)
+
+
+def _winnow_oracle(kgram: int = 8, winnow: int = ts.WINNOW_WINDOW) -> str:
+    """Winnowing oracle: the rolling-fp chain (same hashes, same
+    polynomial weights), then window minima over list_slice — the
+    identical in-row formulation the Spark side uses."""
+    p, base = ts.ROLL_PRIME, ts.ROLL_BASE
+    pw = [pow(base % p, kgram - 1 - j, p) for j in range(kgram)]
+    terms = " + ".join(
+        f"(ha[i+{j}] * {pw[j]}) % {p}" if j else f"(ha[i] * {pw[0]}) % {p}"
+        for j in range(kgram))
+    return f"""
+      WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents),
+      h AS (SELECT doc_id,
+                   list_transform(arr, w ->
+                     ('0x' || substr(md5(w), 1, 15))::bigint % {p}) AS ha,
+                   len(arr) AS n
+            FROM s),
+      f AS (SELECT doc_id,
+                   CASE WHEN n >= {kgram}
+                        THEN list_transform(range(1, n - {kgram - 2}),
+                                            i -> ({terms}) % {p})
+                        ELSE CAST([] AS BIGINT[]) END AS fps
+            FROM h),
+      m AS (SELECT doc_id, len(fps)::bigint AS n_windows,
+              CASE WHEN len(fps) >= {winnow}
+                   THEN list_transform(
+                     range(1, len(fps) - {winnow} + 2),
+                     i -> list_min(list_slice(fps, i,
+                                              i + {winnow - 1})))
+                   WHEN len(fps) > 0 THEN [list_min(fps)]
+                   ELSE CAST([] AS BIGINT[]) END AS mins
+            FROM f)
+      SELECT doc_id, n_windows,
+             len(list_distinct(mins))::bigint AS n_selected,
+             md5(coalesce(array_to_string(
+               list_sort(list_distinct(mins)), ','), '')) AS sel_sig
+      FROM m
     """
 
 
@@ -2188,6 +2278,73 @@ def oracle_sql() -> dict[str, str]:
           FROM u a JOIN u b ON a.vec_id = b.vec_id
           GROUP BY 1, 2
         """,
+        "emb_quantize_int8": f"""
+          WITH v AS (SELECT vec_id,
+                       list_transform(embedding, x -> x::double) AS v
+                     FROM embeddings),
+          s AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x)))
+                    / {es.INT8_QMAX} AS scale
+                FROM v),
+          q AS (SELECT vec_id, v, scale,
+                  CASE WHEN scale = 0
+                       THEN list_transform(v, x -> 0::bigint)
+                       ELSE list_transform(v, x ->
+                         greatest(-{es.INT8_QMAX}, least({es.INT8_QMAX},
+                           floor(x / scale + 0.5)))::bigint)
+                  END AS qvec
+                FROM s)
+          SELECT vec_id, round(scale, 6) AS scale,
+                 md5(array_to_string(
+                   list_transform(qvec, x -> x::varchar), ',')) AS qsig,
+                 round(CASE WHEN scale = 0 THEN 0.0
+                       ELSE list_max(list_transform(
+                         range(1, len(v) + 1),
+                         i -> abs(v[i] - qvec[i] * scale))) END,
+                       6) AS max_abs_err
+          FROM q
+        """,
+        "shuffle_global_order": """
+          WITH h AS (SELECT doc_id,
+                       ('0x' || substr(md5('epoch-0:' || doc_id::varchar),
+                                       1, 15))::bigint AS h
+                     FROM documents)
+          SELECT doc_id, h,
+                 (row_number() OVER (ORDER BY h, doc_id) - 1)::bigint
+                   AS pos
+          FROM h
+        """,
+        "text_blocklist_gate": f"""
+          WITH b AS (SELECT doc_id,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ({_BLOCK_IN})))::bigint AS n_banned,
+                       len(list_filter(
+                           list_distinct(string_split(text, ' ')),
+                           w -> w IN ({_BLOCK_IN})))::bigint
+                         AS n_banned_distinct
+                     FROM documents)
+          SELECT doc_id, n_banned, n_banned_distinct,
+                 (CASE WHEN n_banned = 0 THEN 1 ELSE 0 END)::bigint
+                   AS block_ok
+          FROM b
+        """,
+        "text_entropy_stats": f"""
+          WITH w AS (SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+          c AS (SELECT doc_id, word, count(*)::bigint AS c
+                FROM w WHERE word <> '' GROUP BY 1, 2),
+          e AS (SELECT doc_id, sum(c)::bigint AS n_words,
+                  count(*)::bigint AS n_distinct,
+                  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 3)
+                    AS entropy
+                FROM c GROUP BY doc_id)
+          SELECT doc_id, n_words, n_distinct, entropy,
+                 (CASE WHEN entropy >= {ts.ENTROPY_MIN!r}
+                       THEN 1 ELSE 0 END)::bigint AS ent_ok
+          FROM e
+        """,
+        "text_winnow_fingerprints": _winnow_oracle(),
         # every queries() entry now has an oracle: extract_pipeline
         # gained its composed one (union of the two family
         # reconstructions) in round 3.

@@ -132,3 +132,51 @@ def pca_project(emb: DataFrame, components: np.ndarray,
 
     return emb.select(id_col, vec_col).mapInPandas(
         proj, schema=f"{id_col} long, projected array<double>")
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+INT8_QMAX = 127
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    compression step of an embedding index build (4x smaller than
+    float32; FAISS SQ8 / product-style scalar quantization): for each
+    vector, ``scale = max|x| / 127`` and ``q_i = floor(x_i/scale + .5)``
+    clamped to [-127, 127].
+
+    -> (id_col, scale: double, qvec: array<long>, max_abs_err: double)
+
+    Scale shape: a narrow whole-stage-codegen map — no shuffle, no
+    Python, no driver state; quantized vectors flow straight to the
+    sink (or to an ANN index build) partition-local. The arithmetic is
+    a fixed chain of IEEE-double ops (cast -> divide -> floor), so any
+    engine replays it bit-for-bit — the DuckDB oracle quotes the same
+    chain. ``floor(x + 0.5)`` (round-half-up) is used instead of
+    ``round`` because engines disagree on half-even vs half-away
+    rounding; floor is universal. Zero vectors quantize to zeros with
+    scale 0 (guarded CASE, no division by zero on either engine).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = emb.select(id_col, v.alias("_v")).withColumn(
+        "_scale",
+        F.array_max(F.transform(F.col("_v"), F.abs))
+        / F.lit(float(INT8_QMAX)))
+    qi = lambda x: F.greatest(                      # noqa: E731
+        F.lit(-INT8_QMAX).cast("long"),
+        F.least(F.lit(INT8_QMAX).cast("long"),
+                F.floor(x / F.col("_scale") + F.lit(0.5))))
+    q = F.when(F.col("_scale") == 0.0,
+               F.transform(F.col("_v"), lambda x: F.lit(0).cast("long"))
+               ).otherwise(F.transform(F.col("_v"), qi))
+    d = d.withColumn("qvec", q)
+    err = F.when(F.col("_scale") == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(F.zip_with(
+            F.col("_v"), F.col("qvec"),
+            lambda x, qv: F.abs(x - qv * F.col("_scale")))))
+    return d.select(id_col, F.col("_scale").alias("scale"),
+                    "qvec", err.alias("max_abs_err"))

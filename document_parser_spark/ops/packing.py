@@ -77,3 +77,50 @@ def shard_assign(docs: DataFrame, tokens_col: str = "n_tokens",
             .alias("shard_pos"),
         )
     )
+
+
+def shuffle_order(docs: DataFrame, seed: str = "epoch-0",
+                  buckets: int = SHARD_BUCKETS_DEFAULT,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a 0-based position in the order of a SEEDED portable hash — a new
+    seed is a new epoch permutation, reproducible on any engine and on
+    any re-run (no ``rand()``, no ``zipWithIndex`` RDD round-trip).
+
+    -> (id_col, h, pos: long)
+
+    Scale shape: the same two-level scan as ``shard_assign`` — the
+    hash space is cut into ``buckets`` CONTIGUOUS ranges, each bucket
+    counts its rows under a bounded window sort, and only the O(B)
+    per-bucket totals visit the driver to become exclusive offsets
+    (broadcast back). No global sort, no single-partition window, no
+    barrier beyond one small collect. Ties (identical 60-bit hashes)
+    break on ``id_col``, making the order total; the DuckDB oracle is
+    ONE global ``row_number()`` over the same keys — proving the
+    decomposition equals the global scan.
+    """
+    width = -(-_HASH_SPACE // buckets)
+    h = hash_col(F.concat(F.lit(seed + ":"),
+                          F.col(id_col).cast("string")))
+    d = docs.select(F.col(id_col), h.alias("h"))
+    d = d.withColumn("bucket", F.expr(f"h div {width}"))
+    w = (Window.partitionBy("bucket")
+         .orderBy("h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("_cum", F.count(F.lit(1)).over(w))
+
+    totals = (d.groupBy("bucket").agg(F.count("*").alias("_btot"))
+              .orderBy("bucket").collect())
+    offsets, running = [], 0
+    for r in totals:
+        offsets.append((r["bucket"], running))
+        running += r["_btot"]
+    off = d.sparkSession.createDataFrame(
+        offsets, "bucket long, _boff long")
+
+    return (
+        d.join(F.broadcast(off), "bucket")
+        .select(id_col, "h",
+                (F.col("_boff") + F.col("_cum") - 1).cast("long")
+                .alias("pos"))
+    )

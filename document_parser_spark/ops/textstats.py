@@ -308,3 +308,137 @@ def rolling_fingerprints(docs: DataFrame, window: int = 8,
     ).otherwise(F.array().cast("array<bigint>"))
     return (docs.select("doc_id", harr.alias("_ha"))
             .select("doc_id", fps.alias("fps")))
+
+
+# ---------------------------------------------------------------------------
+# blocklist / entropy / winnowing
+# ---------------------------------------------------------------------------
+
+# C4-style banned-term filter (Raffel et al. 2020 drop any page whose
+# text hits a blocklist; most curation recipes keep a variant). The
+# default list is tuned to the synthetic corpus so the filter provably
+# fires; real deployments pass their own terms.
+BLOCKLIST_DEFAULT = ("slow", "dup", "spam")
+
+
+def blocklist_stats(docs: DataFrame,
+                    terms: tuple[str, ...] = BLOCKLIST_DEFAULT,
+                    text_col: str = "text") -> DataFrame:
+    """Banned-term filter — per doc, total and distinct blocklist hits
+    plus the C4 keep flag (drop on ANY hit).
+
+    -> (doc_id, n_banned, n_banned_distinct, block_ok)
+
+    Scale shape: the term list is a plan literal, so the whole operator
+    is one whole-stage-codegen row map — no shuffle, no join, no
+    Python. For blocklists too large to inline (>~10k terms) use
+    ``blocklist_stats_join``: same output via an exploded broadcast
+    join (tested equivalent)."""
+    ws = F.split(F.col(text_col), " ")
+    lits = [F.lit(t) for t in terms]
+    hits = F.size(F.filter(ws, lambda w: w.isin(list(terms))))
+    distinct_hits = F.size(F.array_intersect(
+        F.array_distinct(ws), F.array(*lits)))
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("n_banned"),
+        distinct_hits.cast("long").alias("n_banned_distinct"),
+        (hits == 0).cast("int").cast("long").alias("block_ok"),
+    )
+
+
+def blocklist_stats_join(docs: DataFrame, terms_df: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Large-blocklist path: ``terms_df(term: string)`` broadcast-joins
+    the exploded word stream — the shape that holds when the blocklist
+    is a table, not a literal. Output identical to
+    ``blocklist_stats`` (unit-tested)."""
+    w = (docs.select("doc_id",
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("term")))
+    hit = w.join(F.broadcast(terms_df), "term")
+    per = hit.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_banned"),
+        F.count_distinct("term").cast("long").alias("n_banned_distinct"))
+    return (docs.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_banned", F.lit(0)).cast("long")
+                    .alias("n_banned"),
+                    F.coalesce("n_banned_distinct", F.lit(0))
+                    .cast("long").alias("n_banned_distinct"),
+                    (F.coalesce("n_banned", F.lit(0)) == 0)
+                    .cast("int").cast("long").alias("block_ok")))
+
+
+# Shannon-entropy floor for the word distribution: templated/spam
+# pages repeat a tiny vocabulary (entropy near 0), prose sits well
+# above it. nats, natural log on both engines.
+ENTROPY_MIN = 1.5
+
+
+def entropy_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexical-diversity quality signal: per-document Shannon entropy
+    of the word distribution, ``H = ln(n) - sum(c*ln(c))/n``.
+
+    -> (doc_id, n_words, n_distinct, entropy, ent_ok) for docs with at
+    least one word (empty docs carry no signal; the length filter's
+    job).
+
+    Scale shape: one (doc_id, word)-keyed count with map-side partial
+    combine, then a doc-keyed reduce — both aggregations shuffle
+    pre-combined counts (longs), never text. Same shape as
+    ``repetition_stats``' 2-gram mode."""
+    w = (docs.select("doc_id",
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("word"))
+         .filter(F.col("word") != ""))
+    per = w.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("c"))
+    n = F.sum("c")
+    ent = F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 3)
+    return (per.groupBy("doc_id")
+            .agg(n.cast("long").alias("n_words"),
+                 F.count("*").cast("long").alias("n_distinct"),
+                 ent.alias("entropy"))
+            .select("doc_id", "n_words", "n_distinct", "entropy",
+                    (F.col("entropy") >= F.lit(float(ENTROPY_MIN)))
+                    .cast("int").cast("long").alias("ent_ok")))
+
+
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(docs: DataFrame, kgram: int = 8,
+                        winnow: int = WINNOW_WINDOW) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the
+    MOSS scheme; Dolma-style span dedup uses the same idea): over the
+    rolling ``kgram``-word Rabin-Karp hashes, keep the MINIMUM of each
+    ``winnow``-wide window of consecutive hashes, deduplicated — a
+    guaranteed-density sample of the fingerprint stream that any
+    matching span of length >= kgram+winnow-1 shares.
+
+    -> (doc_id, n_windows, n_selected, selected: array<long> sorted)
+
+    Scale shape: builds on ``rolling_fingerprints`` (pure codegen) and
+    stays IN-ROW: window minima are a ``transform`` over index
+    ``sequence`` + ``slice`` + ``array_min`` on the per-doc fps array —
+    zero shuffle, zero Python, fingerprints selected where the doc
+    lives. Docs with 0 < n_windows < winnow keep their single global
+    minimum (winnowing's guarantee: every doc with any k-gram emits at
+    least one fingerprint)."""
+    r = rolling_fingerprints(docs, window=kgram)
+    fps = F.col("fps")
+    nwin = F.size(fps)
+    mins = F.transform(
+        F.sequence(F.lit(0), nwin - winnow),
+        lambda i: F.array_min(F.slice(fps, i + 1, winnow)))
+    sel = (F.when(nwin >= winnow, mins)
+           .when(nwin > 0, F.array(F.array_min(fps)))
+           .otherwise(F.array().cast("array<bigint>")))
+    return r.select(
+        "doc_id",
+        nwin.cast("long").alias("n_windows"),
+        F.array_sort(F.array_distinct(sel)).alias("selected"),
+    ).select("doc_id", "n_windows",
+             F.size("selected").cast("long").alias("n_selected"),
+             "selected")

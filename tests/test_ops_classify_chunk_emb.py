@@ -166,3 +166,45 @@ class TestEmbeddingMoments:
         want = x @ comp.T
         for i in range(len(x)):
             assert np.allclose(got[i], want[i], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+class TestQuantizeInt8:
+    def test_matches_numpy_and_bounds_error(self, spark):
+        import numpy as np
+        from document_parser_spark.ops.embstats import (
+            INT8_QMAX, quantize_int8)
+        rng = np.random.default_rng(7)
+        vecs = [rng.standard_normal(16).astype(np.float32)
+                for _ in range(50)]
+        emb = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+        rows = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+        for i, v in enumerate(vecs):
+            x = v.astype(np.float64)
+            scale = np.abs(x).max() / INT8_QMAX
+            q = np.floor(x / scale + 0.5).astype(np.int64)
+            r = rows[i]
+            assert r["qvec"] == q.tolist()
+            assert abs(r["scale"] - scale) < 1e-15
+            assert max(abs(q)) <= INT8_QMAX
+            # half-a-level reconstruction bound
+            assert r["max_abs_err"] <= scale / 2 + 1e-12
+            # dequantized vector stays close in cosine
+            deq = q * scale
+            cos = float(deq @ x / (np.linalg.norm(deq)
+                                   * np.linalg.norm(x)))
+            assert cos > 0.995
+
+    def test_zero_vector(self, spark):
+        from document_parser_spark.ops.embstats import quantize_int8
+        emb = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+        r = quantize_int8(emb).collect()[0]
+        assert r["scale"] == 0.0
+        assert r["qvec"] == [0, 0, 0]
+        assert r["max_abs_err"] == 0.0

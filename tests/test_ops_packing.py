@@ -62,3 +62,38 @@ def test_shards_are_contiguous_token_ranges(docs):
     assert all(r.first_pos < 2048 for r in per_shard)
     total = sum(r.tot for r in per_shard)
     assert total == sum(r.n_tokens for r in docs.collect())
+
+
+# ---------------------------------------------------------------------------
+# shuffle_order
+# ---------------------------------------------------------------------------
+
+from document_parser_spark.ops.packing import shuffle_order  # noqa: E402
+
+
+class TestShuffleOrder:
+    def test_is_exact_hash_order_permutation(self, spark, docs):
+        out = {r["doc_id"]: (r["h"], r["pos"])
+               for r in shuffle_order(docs, seed="s1", buckets=32)
+               .collect()}
+        ids = [r[0] for r in docs.collect()]
+        expect = sorted(ids, key=lambda d: (_h60("s1:" + d), d))
+        assert sorted(p for _, p in out.values()) == list(range(len(ids)))
+        for want_pos, doc_id in enumerate(expect):
+            assert out[doc_id][1] == want_pos
+
+    def test_bucket_count_invariance(self, spark, docs):
+        a = {r["doc_id"]: r["pos"]
+             for r in shuffle_order(docs, buckets=4).collect()}
+        b = {r["doc_id"]: r["pos"]
+             for r in shuffle_order(
+                 docs.repartition(13), buckets=256).collect()}
+        assert a == b
+
+    def test_seed_changes_permutation(self, spark, docs):
+        a = {r["doc_id"]: r["pos"]
+             for r in shuffle_order(docs, seed="epoch-0").collect()}
+        b = {r["doc_id"]: r["pos"]
+             for r in shuffle_order(docs, seed="epoch-1").collect()}
+        assert a != b
+        assert sorted(a.values()) == sorted(b.values())

@@ -134,3 +134,88 @@ def test_vocab_topk(spark):
     plan = ts.vocab_topk(docs, k=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# blocklist / entropy / winnowing
+# ---------------------------------------------------------------------------
+
+class TestBlocklist:
+    def test_counts_and_gate(self, spark):
+        d = spark.createDataFrame(
+            [(1, "fast slow fast slow dup"), (2, "fast scan join"),
+             (3, "")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in ts.blocklist_stats(d).collect()}
+        assert rows[1]["n_banned"] == 3
+        assert rows[1]["n_banned_distinct"] == 2
+        assert rows[1]["block_ok"] == 0
+        assert rows[2]["n_banned"] == 0 and rows[2]["block_ok"] == 1
+        assert rows[3]["n_banned"] == 0 and rows[3]["block_ok"] == 1
+
+    def test_join_path_equals_codegen(self, spark):
+        d = spark.createDataFrame(
+            [(i, f"w{i % 7} slow dup spam" if i % 3 == 0
+              else f"w{i % 7} scan") for i in range(60)],
+            "doc_id long, text string")
+        terms = spark.createDataFrame(
+            [(t,) for t in ts.BLOCKLIST_DEFAULT], "term string")
+        a = sorted(map(tuple, ts.blocklist_stats(d).collect()))
+        b = sorted(map(tuple, ts.blocklist_stats_join(d, terms).collect()))
+        assert a == b
+
+
+class TestEntropy:
+    def test_values_and_gate(self, spark):
+        import math
+        d = spark.createDataFrame(
+            [(1, "a a a a a a a a"),            # H = 0 -> dropped
+             (2, "a b c d e f g h"),            # H = ln 8 -> kept
+             (3, "a a b b")],                   # H = ln 2 < 1.5 -> dropped
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in ts.entropy_stats(d).collect()}
+        assert rows[1]["entropy"] == 0.0 and rows[1]["ent_ok"] == 0
+        assert rows[2]["entropy"] == round(math.log(8), 3)
+        assert rows[2]["ent_ok"] == 1
+        assert rows[3]["entropy"] == round(math.log(2), 3)
+        assert rows[3]["ent_ok"] == 0
+        assert rows[2]["n_words"] == 8 and rows[2]["n_distinct"] == 8
+
+    def test_empty_docs_excluded(self, spark):
+        d = spark.createDataFrame(
+            [(1, ""), (2, "a b")], "doc_id long, text string")
+        assert [r["doc_id"] for r in ts.entropy_stats(d).collect()] == [2]
+
+
+class TestWinnow:
+    def test_selected_subset_and_density(self, spark):
+        words = " ".join(f"w{(i * 13) % 31}" for i in range(40))
+        d = spark.createDataFrame([(1, words)], "doc_id long, text string")
+        fps = ts.rolling_fingerprints(d, window=8).collect()[0]["fps"]
+        row = ts.winnow_fingerprints(d, kgram=8, winnow=4).collect()[0]
+        assert row["n_windows"] == len(fps) == 40 - 8 + 1
+        assert set(row["selected"]) <= set(fps)
+        # winnowing guarantee: >= 1 selection per window of 4
+        assert row["n_selected"] >= 1
+        assert row["selected"] == sorted(set(row["selected"]))
+
+    def test_shared_span_shares_fingerprints(self, spark):
+        shared = " ".join(f"s{i}" for i in range(16))
+        d = spark.createDataFrame(
+            [(1, "a b c " + shared + " x y z"),
+             (2, "p q r t u " + shared + " m n")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: set(r["selected"])
+                for r in ts.winnow_fingerprints(d).collect()}
+        # a shared run of length >= kgram+winnow-1 (=11) words must
+        # produce at least one common selected fingerprint
+        assert rows[1] & rows[2]
+
+    def test_short_docs(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a b c"),                        # no 8-gram: empty
+             (2, " ".join(f"w{i}" for i in range(9)))],  # 2 windows < 4
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in ts.winnow_fingerprints(d).collect()}
+        assert rows[1]["n_windows"] == 0 and rows[1]["n_selected"] == 0
+        assert rows[2]["n_windows"] == 2 and rows[2]["n_selected"] == 1

@@ -229,3 +229,29 @@ def test_covariance_reduce_is_bounded(spark):
     assert "CartesianProduct" not in p
     # mean assembly joins are broadcast (dim-row sides)
     assert "SortMergeJoin" not in p, p
+
+
+def test_quantize_blocklist_winnow_shuffle_free(spark):
+    """The three in-row ops added in round 3 are pure narrow maps:
+    no Exchange anywhere in their plans."""
+    from document_parser_spark.ops.embstats import quantize_int8
+    from document_parser_spark.ops.textstats import (
+        blocklist_stats, winnow_fingerprints)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (quantize_int8(emb), blocklist_stats(docs),
+               winnow_fingerprints(docs)):
+        p = plan(df)
+        assert "Exchange" not in p, p
+
+
+def test_shuffle_order_bounded_window(spark):
+    """The epoch-shuffle order uses the bucketed two-level scan: its
+    window sort is partitioned by bucket (never a single global
+    window) and the offset join is a broadcast."""
+    from document_parser_spark.ops.packing import shuffle_order
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(shuffle_order(docs.select("doc_id"), buckets=64))
+    assert "BroadcastHashJoin" in p, p
+    assert "partitionBy=[bucket" in p.replace(" ", "") or \
+        "hashpartitioning(bucket" in p, p
