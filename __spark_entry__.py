@@ -1149,6 +1149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ts.entropy_stats(_tbl(spark, sf, "documents"))
     q["text_entropy_stats"] = entropy
 
+    def dupngram(spark, sf):
+        """Gopher duplicate-5-gram char fraction (the long-range
+        repetition axis): one (doc, gram)-keyed map-side-combined
+        count, integer char arithmetic."""
+        return ts.dup_ngram_stats(_tbl(spark, sf, "documents"))
+    q["text_dup_ngrams"] = dupngram
+
     def winnow(spark, sf):
         """Winnowing fingerprint selection (MOSS scheme) over the
         rolling Rabin-Karp stream — window minima computed IN-ROW
@@ -2343,6 +2350,30 @@ def oracle_sql() -> dict[str, str]:
                  (CASE WHEN entropy >= {ts.ENTROPY_MIN!r}
                        THEN 1 ELSE 0 END)::bigint AS ent_ok
           FROM e
+        """,
+        "text_dup_ngrams": f"""
+          WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, len(ws) - {ts.DUP_NGRAM_N - 2}),
+                    i -> array_to_string(
+                      ws[i : i + {ts.DUP_NGRAM_N - 1}], ' '))) AS g
+                FROM w WHERE len(ws) >= {ts.DUP_NGRAM_N}),
+          c AS (SELECT doc_id, g, count(*)::bigint AS c,
+                  length(g)::bigint AS len
+                FROM g GROUP BY doc_id, g),
+          a AS (SELECT doc_id, sum(c)::bigint AS n_grams,
+                  round(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)
+                        * 1.0 / sum(c * len), 3) AS frac
+                FROM c GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(a.n_grams, 0)::bigint AS n_grams,
+                 coalesce(a.frac, 0.0) AS dup_ngram_char_frac,
+                 (CASE WHEN coalesce(a.frac, 0.0)
+                            <= {ts.DUP_NGRAM_CHAR_MAX!r}
+                       THEN 1 ELSE 0 END)::bigint AS dupn_ok
+          FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
         """,
         "text_winnow_fingerprints": _winnow_oracle(),
         # every queries() entry now has an oracle: extract_pipeline

@@ -262,6 +262,65 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# Gopher's remaining repetition axis (Rae et al. 2021 table A1):
+# fraction of characters inside duplicated n-grams; 0.15 is the
+# published 5-gram cut.
+DUP_NGRAM_N = 5
+DUP_NGRAM_CHAR_MAX = 0.15
+
+
+def dup_ngram_stats(docs: DataFrame, n: int = DUP_NGRAM_N,
+                    max_frac: float = DUP_NGRAM_CHAR_MAX) -> DataFrame:
+    """Duplicate-n-gram character fraction — the long-range repetition
+    signal `repetition_stats`' top-2-gram mode can't see (a paragraph
+    pasted twice barely moves the 2-gram mode but lights this up).
+
+    Per document: the fraction of n-gram-occurrence CHARACTERS that
+    belong to n-grams appearing more than once,
+    ``sum(c*len | c>1) / sum(c*len)`` — the standard occurrence-count
+    form of Gopher's dup-n-gram rule (overlap-union interval tracking
+    is a sequential per-doc scan; the count form is the one that stays
+    a pure dataflow, and is the stricter of the two).
+
+    -> (doc_id, n_grams, dup_ngram_char_frac, dupn_ok); docs with
+    fewer than ``n`` words carry no n-gram evidence -> frac 0, keep.
+
+    Scale shape: same as ``repetition_stats``' 2-gram mode — explode +
+    one (doc_id, gram)-keyed count with map-side partial combine (the
+    shuffle carries one row per distinct gram per doc), then a tiny
+    per-doc reduce. Char arithmetic is integer-exact; only the final
+    fraction is floating (identical division on any engine).
+    """
+    d = docs.select("doc_id", _words().alias("ws"))
+    grams = F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(F.col("ws"), (i + j).cast("int"))
+                for j in range(n)])),
+    ).otherwise(F.array().cast("array<string>"))
+    per = (d.select("doc_id", F.explode(grams).alias("g"))
+           .groupBy("doc_id", "g")
+           .agg(F.count("*").cast("long").alias("c"))
+           .withColumn("len", F.length("g").cast("long")))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.sum(F.col("c") * F.col("len")).cast("long").alias("_tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("len"))
+              .otherwise(F.lit(0))).cast("long").alias("_dup"))
+    frac = F.round(F.coalesce(
+        F.col("_dup").cast("double") / F.col("_tot").cast("double"),
+        F.lit(0.0)), 3)
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    frac.alias("dup_ngram_char_frac"),
+                    (frac <= F.lit(float(max_frac)))
+                    .cast("int").cast("long").alias("dupn_ok")))
+
+
 ROLL_PRIME = (1 << 31) - 1   # Mersenne: h*B^j products stay < 2^62
 ROLL_BASE = 1000003
 

@@ -219,3 +219,29 @@ class TestWinnow:
         rows = {r["doc_id"]: r for r in ts.winnow_fingerprints(d).collect()}
         assert rows[1]["n_windows"] == 0 and rows[1]["n_selected"] == 0
         assert rows[2]["n_windows"] == 2 and rows[2]["n_selected"] == 1
+
+
+class TestDupNgrams:
+    def test_pasted_paragraph_fires(self, spark):
+        para = " ".join(f"p{i}" for i in range(20))
+        d = spark.createDataFrame(
+            [(1, para + " " + para),              # doc pasted twice
+             (2, " ".join(f"u{i}" for i in range(40))),  # all unique
+             (3, "a b c")],                       # < n words
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in ts.dup_ngram_stats(d).collect()}
+        assert rows[1]["dupn_ok"] == 0
+        assert rows[1]["dup_ngram_char_frac"] > 0.5
+        assert rows[2]["dup_ngram_char_frac"] == 0.0
+        assert rows[2]["dupn_ok"] == 1
+        assert rows[3]["n_grams"] == 0 and rows[3]["dupn_ok"] == 1
+
+    def test_exact_fraction(self, spark):
+        # 6 words, one repeated 5-gram: "a b c d e a b c d e" has
+        # 6 5-grams; "a b c d e" occurs twice (len 9), others once
+        d = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], "doc_id long, text string")
+        r = ts.dup_ngram_stats(d).collect()[0]
+        assert r["n_grams"] == 6
+        tot = 2 * 9 + 9 + 9 + 9 + 9     # dup gram 2x9 + 4 unique x9
+        assert r["dup_ngram_char_frac"] == round(18 / tot, 3)

@@ -58,7 +58,10 @@ QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
            "multimodal_meta", "multimodal_decode_stub",
            "sample_hash_deterministic", "sample_stratified_fractions",
            "sample_stratified_quota", "decontam_ngram_hits",
-           "curation_funnel", "text_length_outliers", "decontam_fuzzy"]
+           "curation_funnel", "text_length_outliers", "decontam_fuzzy",
+           "text_blocklist_gate", "text_entropy_stats",
+           "text_winnow_fingerprints", "shuffle_global_order",
+           "text_dup_ngrams"]
 
 
 @pytest.fixture(scope="module")
@@ -84,7 +87,7 @@ def dirty_sf(tmp_path_factory):
 
 
 EMB_QUERIES = ["dedup_embedding_cosine", "ann_cosine_threshold",
-               "ann_lsh_buckets"]
+               "ann_lsh_buckets", "emb_quantize_int8"]
 
 
 @pytest.fixture(scope="module")
