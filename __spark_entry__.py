@@ -756,6 +756,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"src0": 1.0, "src1": 0.5}, default=0.1, seed="f"))
     q["sample_stratified_fractions"] = sample_fracs
 
+    def sample_split(spark, sf):
+        """Deterministic train/val/test split (hash ranges, pure
+        function of doc_id+seed; narrow map, no shuffle)."""
+        out = smp.split_assign(_tbl(spark, sf, "documents")
+                               .select("doc_id"))
+        return (out.groupBy("split")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.md5(F.concat_ws(
+                         ",",
+                         F.sort_array(F.collect_list("doc_id"))
+                         .cast("array<string>"))).alias("ids_sig")))
+    q["sample_split_assign"] = sample_split
+
+    def sample_topk(spark, sf):
+        """Exact-k deterministic global sample — planned as
+        TakeOrderedAndProject (per-partition heap top-k)."""
+        return smp.exact_k_sample(
+            _tbl(spark, sf, "documents"), 25, seed="xk") \
+            .select("doc_id", "source")
+    q["sample_exact_k"] = sample_topk
+
+    def domain_gate(spark, sf):
+        """Domain-level quality gate (RefinedWeb posture): whole
+        sources kept/dropped on an integer-exact corpus-level
+        stopword-mass ratio; semi-join back."""
+        kept = cur.group_quality_gate(_tbl(spark, sf, "documents"))
+        return _kept_sig(kept)
+    q["curation_domain_gate"] = domain_gate
+
     def decontam_hits(spark, sf):
         """Benchmark decontamination: corpus docs sharing 4-gram word
         shingles with the held-out tier (doc_id % 97 == 0)."""
@@ -1213,6 +1242,18 @@ def _rolling_fp_oracle(window: int = 8) -> str:
 
 
 _BLOCK_IN = ",".join(repr(t) for t in ts.BLOCKLIST_DEFAULT)
+
+
+def _split_case() -> str:
+    """CASE chain replaying split_assign's cumulative integer bounds
+    (built with the SAME ``int(cum * SAMPLE_MOD)`` arithmetic)."""
+    cum, arms = 0.0, []
+    for name, frac in smp.SPLIT_WEIGHTS_DEFAULT[:-1]:
+        cum += frac
+        arms.append(f"WHEN hk < {int(cum * smp.SAMPLE_MOD)} "
+                    f"THEN '{name}'")
+    arms.append(f"ELSE '{smp.SPLIT_WEIGHTS_DEFAULT[-1][0]}'")
+    return " ".join(arms)
 
 
 def _winnow_oracle(kgram: int = 8, winnow: int = ts.WINNOW_WINDOW) -> str:
@@ -2031,6 +2072,43 @@ def oracle_sql() -> dict[str, str]:
                                 1, 15))::bigint % {smp.SAMPLE_MOD}
                 < {int(0.25 * smp.SAMPLE_MOD)}
           GROUP BY source
+        """,
+        "sample_split_assign": f"""
+          WITH k AS (SELECT doc_id,
+                       ('0x' || substr(md5('split' || doc_id::varchar),
+                                       1, 15))::bigint
+                       % {smp.SAMPLE_MOD} AS hk
+                     FROM documents),
+          s AS (SELECT doc_id,
+                  CASE {_split_case()} END AS split
+                FROM k)
+          SELECT split, count(*)::bigint AS n_docs,
+                 md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id))
+                 AS ids_sig
+          FROM s GROUP BY split
+        """,
+        "sample_exact_k": f"""
+          SELECT doc_id, source FROM documents
+          ORDER BY ('0x' || substr(md5('xk' || doc_id::varchar),
+                                   1, 15))::bigint % {smp.SAMPLE_MOD},
+                   doc_id
+          LIMIT 25
+        """,
+        "curation_domain_gate": f"""
+          WITH s AS (SELECT source,
+                       sum(len(list_filter(string_split(text, ' '),
+                           x -> {_ascii_lower_sql('x')}
+                                IN ({stop_en}))))::bigint AS st,
+                       sum(len(string_split(text, ' ')))::bigint AS tok
+                     FROM documents GROUP BY source),
+          k AS (SELECT source FROM s
+                WHERE st * 1.0 / tok >= {cur.GROUP_STOP_RATIO_MIN!r}),
+          kept AS (SELECT d.source, d.doc_id
+                   FROM documents d JOIN k USING (source))
+          SELECT source, count(*)::bigint AS n_kept,
+                 md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id))
+                 AS ids_sig
+          FROM kept GROUP BY source
         """,
         "sample_stratified_quota": f"""
           WITH k AS (SELECT doc_id, source,

@@ -113,3 +113,42 @@ def curation_flags(docs: DataFrame,
     return j.select("doc_id", "source", "f_lang", "f_quality", "f_rep",
                     f_dedup.alias("f_dedup"),
                     f_sampled.alias("f_sampled"))
+
+
+# Domain-level gate: corpus-level stopword mass per group. 0.06 sits
+# in the natural-prose band for the synthetic corpus; real recipes fit
+# it on a held-out sample.
+GROUP_STOP_RATIO_MIN = 0.06
+
+
+def group_quality_gate(docs: DataFrame, key: str = "source",
+                       min_ratio: float = GROUP_STOP_RATIO_MIN
+                       ) -> DataFrame:
+    """Group-level (domain-level) filtering — the RefinedWeb posture of
+    dropping entire domains whose AGGREGATE quality is low, instead of
+    (or before) per-document gating.
+
+    Keeps every document whose ``key`` group passes the corpus-level
+    stopword-mass cut ``sum(n_stop) / sum(n_tokens) >= min_ratio``.
+    The group statistic is a ratio of two INTEGER sums, so the gate is
+    bit-deterministic on any engine (no mean-of-rounded-per-doc-ratios
+    ambiguity at the threshold).
+
+    -> the kept rows of ``docs`` (all columns).
+
+    Scale shape: one map-side-combined ``groupBy(key)`` over two long
+    counters (the group relation is bounded by the number of domains,
+    not the corpus), then a LEFT SEMI join back on ``key`` — AQE
+    broadcasts the group relation when it is small and falls back to a
+    hash semi join when not; the corpus side hashes once on ``key``
+    either way and its rows are never duplicated.
+    """
+    stats = docs.groupBy(key).agg(
+        F.sum(ts.stopword_count_column(F.col("text")).cast("long"))
+        .alias("_stop"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+        .alias("_tok"))
+    keep = stats.filter(
+        F.col("_stop").cast("double") / F.col("_tok").cast("double")
+        >= F.lit(float(min_ratio))).select(key)
+    return docs.join(keep, key, "left_semi")

@@ -78,3 +78,46 @@ def stratified_quota(docs: DataFrame, key: str, quota: int,
         sample_key(F.col("doc_id"), seed), F.col("doc_id"))
     return (ranked.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= quota).drop("_rn"))
+
+
+SPLIT_WEIGHTS_DEFAULT = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def split_assign(docs: DataFrame,
+                 weights: tuple[tuple[str, float], ...] =
+                 SPLIT_WEIGHTS_DEFAULT,
+                 seed: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: cumulative hash ranges
+    over [0, SAMPLE_MOD) in the given order; any residue from
+    fractions not summing to 1 falls into the LAST split. A pure
+    function of (doc_id, seed) — one narrow codegen map, no shuffle,
+    stable across runs/cluster sizes, and any engine reproduces the
+    assignment (the oracle replays the same CASE chain).
+
+    -> ``docs`` plus a ``split: string`` column."""
+    k = sample_key(F.col("doc_id"), seed)
+    cum = 0.0
+    expr = F.lit(weights[-1][0])
+    cases = []
+    for name, frac in weights[:-1]:
+        cum += frac
+        cases.append((name, int(cum * SAMPLE_MOD)))
+    for name, bound in reversed(cases):
+        expr = F.when(k < bound, F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def exact_k_sample(docs: DataFrame, k: int,
+                   seed: str = "s0") -> DataFrame:
+    """EXACTLY ``k`` documents, deterministically: global top-k by
+    (hash draw, doc_id). Catalyst plans the orderBy+limit as
+    TakeOrderedAndProject — a per-partition heap of k rows with only
+    k rows per partition reaching the driver-side merge; no global
+    sort, no skew exposure (the hash key is uniform by construction).
+    Complements ``hash_sample`` (approximate fraction) when the
+    contract is an exact row budget."""
+    return (docs
+            .withColumn("_sk", sample_key(F.col("doc_id"), seed))
+            .orderBy("_sk", "doc_id")
+            .limit(k)
+            .drop("_sk"))

@@ -54,6 +54,16 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def stopword_count_column(col: F.Column, lang: str = "en") -> F.Column:
+    """Codegen'd stopword-occurrence count over padded text (see
+    lang_id for why this beats the interpreted filter/array_contains
+    formulation). Shared by ``quality_scores`` and the domain-level
+    gate in ``ops.curation``."""
+    return F.regexp_count(
+        F.concat(F.lit(" "), ascii_lower_column(col), F.lit(" ")),
+        F.lit(" (" + "|".join(STOPWORDS[lang]) + ")(?= )"))
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Length / stopword / word-shape quality features + a keep flag.
 
@@ -62,12 +72,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     """
     w = _words()
     n_tok = F.size(w).cast("long")
-    # codegen'd regexp count over padded text (see lang_id for why this
-    # beats the interpreted filter/array_contains formulation)
-    n_stop = F.regexp_count(
-        F.concat(F.lit(" "), ascii_lower_column(F.col("text")),
-                 F.lit(" ")),
-        F.lit(" (" + "|".join(STOPWORDS["en"]) + ")(?= )"))
+    n_stop = stopword_count_column(F.col("text"))
     mean_len = (F.length(F.regexp_replace("text", " ", "")).cast("double")
                 / F.greatest(n_tok, F.lit(1)).cast("double"))
     return docs.select(

@@ -94,3 +94,33 @@ def test_funnel_deterministic(docs):
     a = sorted(map(tuple, cur.curation_funnel(docs).collect()))
     b = sorted(map(tuple, cur.curation_funnel(docs).collect()))
     assert a == b
+
+
+class TestGroupQualityGate:
+    def test_whole_groups_kept_or_dropped(self, spark):
+        rich = "the a of and to in is it for on word"      # stop-heavy
+        poor = "alpha beta gamma delta epsilon zeta eta"   # stop-free
+        rows = ([(i, rich, "en", "good", len(rich))
+                 for i in range(10)]
+                + [(100 + i, poor, "en", "bad", len(poor))
+                   for i in range(10)])
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        kept = cur.group_quality_gate(d, key="source").collect()
+        assert {r["source"] for r in kept} == {"good"}
+        assert len(kept) == 10                   # the whole group
+        assert set(kept[0].asDict()) == {        # all columns survive
+            "doc_id", "text", "lang", "source", "n_chars"}
+
+    def test_threshold_is_group_level_not_doc_level(self, spark):
+        # one stop-free doc inside a rich group must be kept anyway
+        rich = "the a of and to in is it for on"
+        rows = ([(i, rich, "en", "g", 1) for i in range(9)]
+                + [(99, "xx yy zz", "en", "g", 1)])
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        kept = {r["doc_id"]
+                for r in cur.group_quality_gate(d, "source").collect()}
+        assert 99 in kept and len(kept) == 10

@@ -121,3 +121,64 @@ def test_fuzzy_contamination_finds_neardup_of_benchmark(spark):
         spark.createDataFrame([(3, base)], "doc_id long, text string"),
         bench).collect()
     assert [(r.doc_id, r.bench_id, r.jaccard) for r in got2] == [(3, 100, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# split_assign / exact_k_sample
+# ---------------------------------------------------------------------------
+
+class TestSplitAssign:
+    def test_total_and_deterministic(self, spark):
+        d = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long")
+        a = {r["doc_id"]: r["split"]
+             for r in smp.split_assign(d).collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in smp.split_assign(d.repartition(7)).collect()}
+        assert a == b and len(a) == 2000
+        from collections import Counter
+        c = Counter(a.values())
+        assert set(c) == {"train", "val", "test"}
+        assert 0.85 < c["train"] / 2000 < 0.95
+        assert c["val"] / 2000 < 0.10 and c["test"] / 2000 < 0.10
+
+    def test_residue_goes_to_last_split(self, spark):
+        d = spark.createDataFrame([(i,) for i in range(500)],
+                                  "doc_id long")
+        out = smp.split_assign(
+            d, weights=(("a", 0.5), ("b", 0.1)), seed="r")
+        from collections import Counter
+        c = Counter(r["split"] for r in out.collect())
+        # b takes its 10% band PLUS the 40% residue
+        assert c["b"] > c["a"] * 0.6
+
+    def test_disjoint_from_seeded_resplit(self, spark):
+        d = spark.createDataFrame([(i,) for i in range(500)],
+                                  "doc_id long")
+        a = {r["doc_id"]: r["split"]
+             for r in smp.split_assign(d, seed="s1").collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in smp.split_assign(d, seed="s2").collect()}
+        assert a != b
+
+
+class TestExactKSample:
+    def test_exactly_k_and_prefix_property(self, spark):
+        d = spark.createDataFrame(
+            [(i, f"src{i % 3}") for i in range(300)],
+            "doc_id long, source string")
+        k10 = [r["doc_id"]
+               for r in smp.exact_k_sample(d, 10, "e").collect()]
+        k50 = [r["doc_id"]
+               for r in smp.exact_k_sample(d, 50, "e").collect()]
+        assert len(k10) == 10 and len(k50) == 50
+        assert set(k10) <= set(k50)      # hash-order prefix property
+
+    def test_partitioning_invariance(self, spark):
+        d = spark.createDataFrame([(i, "x") for i in range(300)],
+                                  "doc_id long, source string")
+        a = sorted(r["doc_id"]
+                   for r in smp.exact_k_sample(d, 20, "p").collect())
+        b = sorted(r["doc_id"] for r in smp.exact_k_sample(
+            d.repartition(11), 20, "p").collect())
+        assert a == b

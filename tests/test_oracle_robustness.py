@@ -61,7 +61,8 @@ QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
            "curation_funnel", "text_length_outliers", "decontam_fuzzy",
            "text_blocklist_gate", "text_entropy_stats",
            "text_winnow_fingerprints", "shuffle_global_order",
-           "text_dup_ngrams"]
+           "text_dup_ngrams", "sample_split_assign", "sample_exact_k",
+           "curation_domain_gate"]
 
 
 @pytest.fixture(scope="module")
