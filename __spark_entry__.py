@@ -777,6 +777,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "source")
     q["sample_exact_k"] = sample_topk
 
+    def drift(spark, sf):
+        """Per-source KL divergence vs the corpus word distribution
+        (mixture monitoring): one corpus-sized map-side-combined count,
+        bounded downstream relations."""
+        return st.distribution_divergence(_tbl(spark, sf, "documents"))
+    q["corpus_drift_kl"] = drift
+
     def domain_gate(spark, sf):
         """Domain-level quality gate (RefinedWeb posture): whole
         sources kept/dropped on an integer-exact corpus-level
@@ -2093,6 +2100,30 @@ def oracle_sql() -> dict[str, str]:
                                    1, 15))::bigint % {smp.SAMPLE_MOD},
                    doc_id
           LIMIT 25
+        """,
+        "corpus_drift_kl": f"""
+          WITH w AS (SELECT source,
+                       unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+          kw AS (SELECT source, word, count(*)::bigint AS c_gw
+                 FROM w WHERE word <> '' GROUP BY 1, 2),
+          wt AS (SELECT word, sum(c_gw)::bigint AS c_w
+                 FROM kw GROUP BY word),
+          gt AS (SELECT source, sum(c_gw)::bigint AS n_g,
+                   count(*)::bigint AS n_distinct
+                 FROM kw GROUP BY source),
+          n AS (SELECT sum(c_gw)::double AS n FROM kw),
+          t AS (SELECT kw.source, gt.n_g, gt.n_distinct,
+                  round(sum(kw.c_gw * 1.0 / gt.n_g
+                        * ln((kw.c_gw * 1.0 * n.n)
+                             / (gt.n_g * 1.0 * wt.c_w))), 3) AS kl
+                FROM kw JOIN wt USING (word)
+                        JOIN gt USING (source), n
+                GROUP BY 1, 2, 3)
+          SELECT source, n_g AS n_words, n_distinct, kl,
+                 (CASE WHEN kl <= {st.KL_DRIFT_MAX!r}
+                       THEN 1 ELSE 0 END)::bigint AS drift_ok
+          FROM t
         """,
         "curation_domain_gate": f"""
           WITH s AS (SELECT source,

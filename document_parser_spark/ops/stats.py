@@ -199,3 +199,58 @@ def topk_per_group(df: DataFrame, key: str, order_col: str, k: int,
             .withColumn("rank", F.row_number().over(w2).cast("long"))
             .filter(F.col("rank") <= k)
             .drop("_salt", "_r1"))
+
+
+# Mixture-monitoring drift ceiling: KL in nats of a domain's word
+# distribution against the whole corpus. Same-recipe domains sit well
+# under 0.5; a templated/spam domain jumps past it.
+KL_DRIFT_MAX = 0.5
+
+
+def distribution_divergence(docs: DataFrame, key: str = "source",
+                            text_col: str = "text",
+                            max_kl: float = KL_DRIFT_MAX) -> DataFrame:
+    """Corpus-mixture monitoring: per ``key`` group, the KL divergence
+    (nats) of the group's word distribution from the corpus-wide one —
+    the drift signal a training-data pipeline watches when a source
+    changes its crawler, template, or language mix.
+
+        KL(P_g || P) = sum_w (c_gw/n_g) * ln((c_gw * N) / (n_g * c_w))
+
+    -> (key, n_words, n_distinct, kl, drift_ok). Groups are never
+    penalized for missing corpus words (only w with c_gw > 0
+    contribute), so KL is always finite.
+
+    Scale shape: ONE corpus-sized pass — the (key, word) count with
+    map-side partial combine; everything downstream operates on that
+    bounded relation (|keys| x |vocab| rows): word totals re-aggregate
+    it word-keyed (long payloads), group totals are a |keys|-row
+    broadcast, and the corpus total N is one driver-collected scalar
+    burned in as a literal (the same fit/score split as
+    ``lm.bigram_lm_scores``' vocabulary size — a lazy scalar join
+    would plan as the banned BroadcastNestedLoopJoin)."""
+    w = (docs.select(F.col(key),
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("word"))
+         .filter(F.col("word") != ""))
+    kw = w.groupBy(key, "word").agg(
+        F.count("*").cast("long").alias("c_gw"))
+    word_tot = kw.groupBy("word").agg(
+        F.sum("c_gw").cast("long").alias("c_w"))
+    grp_tot = kw.groupBy(key).agg(
+        F.sum("c_gw").cast("long").alias("n_g"),
+        F.count("*").cast("long").alias("n_distinct"))
+    n = kw.agg(F.sum("c_gw").cast("long")).first()[0] or 0
+    term = (F.col("c_gw").cast("double") / F.col("n_g").cast("double")
+            * F.log((F.col("c_gw").cast("double") * F.lit(float(n)))
+                    / (F.col("n_g").cast("double")
+                       * F.col("c_w").cast("double"))))
+    kl = F.round(F.sum(term), 3)
+    return (kw.join(word_tot, "word")
+            .join(F.broadcast(grp_tot), key)
+            .groupBy(key, "n_g", "n_distinct")
+            .agg(kl.alias("kl"))
+            .select(F.col(key),
+                    F.col("n_g").alias("n_words"), "n_distinct", "kl",
+                    (F.col("kl") <= F.lit(float(max_kl)))
+                    .cast("int").cast("long").alias("drift_ok")))

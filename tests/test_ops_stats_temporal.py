@@ -189,3 +189,43 @@ def test_length_outlier_trim_matches_bruteforce(spark):
         assert (r.lo_cut, r.hi_cut) == (lo_cut, hi_cut), g
         assert r.kept_docs == len(kept) and r.dropped_docs == tot - len(kept)
         assert r.kept_chars == sum(kept)
+
+
+class TestDistributionDivergence:
+    def test_exact_small_case_and_drift_flag(self, spark):
+        import math
+        # group A: uniform over {a,b}; group B: all {a}; corpus: a=3,b=1
+        d = spark.createDataFrame(
+            [(1, "a b", "A"), (2, "a a", "B")],
+            "doc_id long, text string, source string")
+        from document_parser_spark.ops.stats import (
+            distribution_divergence)
+        rows = {r["source"]: r
+                for r in distribution_divergence(d).collect()}
+        n = 4.0
+        kl_a = 0.5 * math.log((1 * n) / (2 * 3)) \
+            + 0.5 * math.log((1 * n) / (2 * 1))
+        kl_b = 1.0 * math.log((2 * n) / (2 * 3))
+        assert rows["A"]["kl"] == round(kl_a, 3)
+        assert rows["B"]["kl"] == round(kl_b, 3)
+        assert rows["A"]["n_words"] == 2 and rows["A"]["n_distinct"] == 2
+
+    def test_templated_source_fires(self, spark):
+        import random
+        rng = random.Random(3)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(40):
+            rows.append((i, " ".join(rng.choice(vocab)
+                                     for _ in range(50)), "organic"))
+        for i in range(40, 60):
+            rows.append((i, "click here buy now " * 12, "spam"))
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        from document_parser_spark.ops.stats import (
+            distribution_divergence)
+        out = {r["source"]: r
+               for r in distribution_divergence(d).collect()}
+        assert out["spam"]["drift_ok"] == 0
+        assert out["organic"]["drift_ok"] == 1
+        assert out["spam"]["kl"] > out["organic"]["kl"]
