@@ -116,10 +116,17 @@ def _commit_bucket(spark: SparkSession, bucket_df: DataFrame, out_dir: str,
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(os.path.dirname(tmp_dir), exist_ok=True)
 
+    # extraction output carries (spans, status); other relations (e.g.
+    # the curation pipeline's curated-corpus rows) commit through the
+    # same machinery with zeroed span/failure tallies
+    span_count = (F.coalesce(F.sum(F.size("spans")), F.lit(0))
+                  if "spans" in bucket_df.columns else F.lit(0))
+    failures = (F.coalesce(
+        F.sum((F.col("status") == STATUS_PARSE_FAILURE).cast("long")),
+        F.lit(0)) if "status" in bucket_df.columns else F.lit(0))
     stats = bucket_df.select(
-        F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("span_count"),
-        F.coalesce(F.sum((F.col("status") == STATUS_PARSE_FAILURE)
-                         .cast("long")), F.lit(0)).alias("parse_failures"),
+        span_count.cast("long").alias("span_count"),
+        failures.cast("long").alias("parse_failures"),
         F.count("*").alias("n_docs"),
     )
     bucket_df.write.mode("overwrite").parquet(tmp_dir)
