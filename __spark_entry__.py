@@ -665,6 +665,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.md5("text_dedup").alias("dedup_sig"))
     q["dedup_chunks"] = dedup_chunks
 
+    def incr_dedup(spark, sf):
+        """Incremental snapshot dedup (day-N ingestion): anti join of a
+        new batch against the prior corpus's keys-only fingerprint
+        table + within-batch first-occurrence dedup. The batch embeds
+        10 re-ingested old texts (ids shifted +10000) that MUST drop."""
+        d = _tbl(spark, sf, "documents")
+        old = d.filter(F.col("doc_id") < 250)
+        batch = (d.filter(F.col("doc_id") >= 250)
+                 .unionByName(d.filter(F.col("doc_id") < 10)
+                              .withColumn("doc_id",
+                                          F.col("doc_id") + 10000)))
+        seen = ts.fingerprint(old).select("fp")
+        kept = dd.incremental_new_docs(batch, seen)
+        return _kept_sig(kept)
+    q["dedup_incremental"] = incr_dedup
+
     def curation(spark, sf):
         """Composed curation recipe: lang gate -> quality gate ->
         repetition gate -> exact-dedup survivors -> deterministic
@@ -2100,6 +2116,30 @@ def oracle_sql() -> dict[str, str]:
                                    1, 15))::bigint % {smp.SAMPLE_MOD},
                    doc_id
           LIMIT 25
+        """,
+        "dedup_incremental": f"""
+          WITH batch AS (
+            SELECT doc_id, text, source FROM documents
+            WHERE doc_id >= 250
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text, source
+            FROM documents WHERE doc_id < 10),
+          b AS (SELECT doc_id, source,
+                  md5({_norm_ws_lower_sql('text')}) AS fp FROM batch),
+          seen AS (SELECT DISTINCT md5({_norm_ws_lower_sql('text')})
+                     AS fp
+                   FROM documents WHERE doc_id < 250),
+          fresh AS (SELECT * FROM b
+                    WHERE fp NOT IN (SELECT fp FROM seen)),
+          kept AS (SELECT doc_id, source FROM (
+                     SELECT doc_id, source,
+                            min(doc_id) OVER (PARTITION BY fp) AS m
+                     FROM fresh)
+                   WHERE doc_id = m)
+          SELECT source, count(*)::bigint AS n_kept,
+                 md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id))
+                 AS ids_sig
+          FROM kept GROUP BY source
         """,
         "corpus_drift_kl": f"""
           WITH w AS (SELECT source,

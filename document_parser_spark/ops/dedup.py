@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 from document_parser_spark.ops.hashing import hash_col
@@ -78,6 +78,33 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
              F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+def incremental_new_docs(batch: DataFrame,
+                         seen_fps: DataFrame) -> DataFrame:
+    """Incremental (snapshot) dedup — the day-N ingestion posture: a
+    new batch is deduplicated against the ACCUMULATED corpus without
+    touching the corpus itself. ``seen_fps`` is the prior snapshot's
+    fingerprint table ``(fp: string)`` (what ``fingerprint``/
+    ``exact_duplicates`` maintain); the result is the batch rows whose
+    normalized fingerprint is new, first-occurrence-deduped WITHIN the
+    batch too (min doc_id wins, same survivor rule as
+    ``exact_duplicates``).
+
+    Scale shape: the fingerprint table is keys-only (16-byte md5), so
+    even a 10^12-doc history is a ~30 TB keys table the anti join
+    hashes on fp — batch-sized shuffle on the probe side, never a
+    corpus re-read; the within-batch dedup is one fp-keyed window min.
+    """
+    from document_parser_spark.functions.cleaning import (
+        norm_ws_lower_column,
+    )
+    b = batch.withColumn(
+        "fp", F.md5(norm_ws_lower_column(F.col("text"))))
+    fresh = b.join(seen_fps.select("fp").distinct(), "fp", "left_anti")
+    first = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (fresh.withColumn("_keep", F.col("doc_id") == first)
+            .filter("_keep").drop("_keep", "fp"))
 
 
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:

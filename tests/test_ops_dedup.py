@@ -187,3 +187,32 @@ def test_dedup_survivors_keeps_min_and_unpaired(docs):
     # ngram near-dup (uppercase shingles differ), so it survives here
     assert 1 in left and 2 not in left and 3 not in left
     assert {4, 5, 6} <= left
+
+
+class TestIncrementalDedup:
+    def test_drops_seen_and_within_batch_dups(self, spark):
+        from document_parser_spark.ops.dedup import incremental_new_docs
+        old = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon")],
+            "doc_id long, text string")
+        from document_parser_spark.ops.textstats import fingerprint
+        seen = fingerprint(old).select("fp")
+        batch = spark.createDataFrame(
+            [(10, "ALPHA  beta gamma"),     # dup of old #1 (normalized)
+             (11, "zeta eta"),              # new
+             (12, "zeta eta"),              # within-batch dup of 11
+             (13, "theta iota")],           # new
+            "doc_id long, text string")
+        kept = sorted(r["doc_id"] for r in
+                      incremental_new_docs(batch, seen).collect())
+        assert kept == [11, 13]
+
+    def test_empty_seen_keeps_batch_firsts(self, spark):
+        from document_parser_spark.ops.dedup import incremental_new_docs
+        batch = spark.createDataFrame(
+            [(5, "x y"), (6, "x y"), (7, "z")],
+            "doc_id long, text string")
+        seen = spark.createDataFrame([], "fp string")
+        kept = sorted(r["doc_id"] for r in
+                      incremental_new_docs(batch, seen).collect())
+        assert kept == [5, 7]

@@ -62,7 +62,8 @@ QUERIES = ["extract_markdown_roundtrip", "extract_html_roundtrip",
            "text_blocklist_gate", "text_entropy_stats",
            "text_winnow_fingerprints", "shuffle_global_order",
            "text_dup_ngrams", "sample_split_assign", "sample_exact_k",
-           "curation_domain_gate", "corpus_drift_kl"]
+           "curation_domain_gate", "corpus_drift_kl",
+           "dedup_incremental"]
 
 
 @pytest.fixture(scope="module")
