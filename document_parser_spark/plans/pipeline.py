@@ -4,15 +4,24 @@
       ├─ PDF family: prune spans to pdf_line, doc-level mapInPandas layout
       │  parse (no explode needed — reading order is a doc-level computation)
       └─ everything else: posexplode(filter(spans, kind != 'pdf_line'))
-           ├─ text:    vectorized clean kernel, drop blank
-           ├─ image:   passthrough (media_ref preserved verbatim)
-           ├─ html:    batched DOM parse (mapInPandas)
-           └─ unknown: parse-failure rows (never throw — A4)
+           ├─ JVM branch (ONE pass): clean-majority text (codegen clean
+           │  chain), image passthrough, unknown -> parse-failure rows
+           │  (never throw — A4), dispatched by in-row CASE
+           └─ Python branch (ONE mapInPandas pass): html DOM parse +
+              every kernel that needs Python (/uni-or-mojibake text,
+              docx NFC tier, per-cell table cleaning), dispatched by a
+              vectorized per-kind groupby INSIDE the batch
       + one presence marker per doc (so fully-dropped docs surface as 'empty')
     -> unionByName -> salted ordered reassembly -> serializer UDF -> output
 
 All branches emit PARSED_SCHEMA; every stage is a narrow map over the explode
-except the single reassembly shuffle.
+except the single reassembly shuffle. Branch count is a SCAN count: each
+union arm re-reads the input table (Catalyst duplicates the subtree, and
+the per-kind predicates cannot prune a columnar spans scan), so at 100 TB
+an arm is a full extra pass. The plan therefore holds the spans-bearing
+arms to THREE — JVM, Python, pdf — plus one doc_id-only marker scan
+(column-pruned to ~nothing); the r2 shape's eight per-kind arms read the
+table eight times for the identical work.
 """
 
 from __future__ import annotations
@@ -32,12 +41,8 @@ from document_parser_spark.config import (
 )
 from document_parser_spark.functions.cleaning import (
     clean_text_column,
-    make_clean_udf,
-    make_docx_clean_udf,
-    make_table_clean_udf,
     needs_python_column,
 )
-from document_parser_spark.operators.html_parse import html_branch
 from document_parser_spark.operators.pdf_parse import pdf_branch
 from document_parser_spark.operators.reassemble import DOC_MARKER_KIND, reassemble
 from document_parser_spark.operators.serialize import make_serialize_udf
@@ -62,107 +67,154 @@ def explode_spans(df: DataFrame, exclude_pdf: bool = True) -> DataFrame:
     )
 
 
-def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
-    """Input docs -> union of per-kind parsed rows (PARSED_SCHEMA).
-    ``pdf_vlm`` selects the VLM whole-doc PDF parser instead of the
-    layout pipeline (the reference's alternative parser,
-    pdf_parser_vlm.py)."""
-    clean_udf = make_clean_udf()
+def _python_parse_branch(src: DataFrame) -> DataFrame:
+    """ONE ``mapInPandas`` pass for every kind whose kernel needs Python:
+    html DOM parse (one-to-many), /uni-or-mojibake-flagged text
+    (clean_and_fix), docx NFC tier (docx_parser.py:43-49: text items
+    NFC->clean->fix), and per-cell table cleaning with the DocParser
+    asymmetry (docx cells clean-only, generic cells clean+fix).
 
+    Dispatch is a vectorized per-kind ``groupby`` INSIDE each Arrow
+    batch — per-kind union arms would each re-scan the input table
+    (Catalyst duplicates the subtree per arm), while a batch-side
+    groupby pays one scan and keeps every kernel batched.
+    Input: doc_id, offset, kind, text. Output: PARSED_SCHEMA.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from document_parser_spark.functions.cleaning import (
+        clean_and_fix_series,
+        docx_clean_series,
+        table_clean_series,
+    )
+    from document_parser_spark.operators.html_parse import parse_html_rows
+    from document_parser_spark.schema import PARSED_SCHEMA
+
+    ws_del = {ord(c): None for c in PY_WHITESPACE}
+
+    def _one2one(grp: pd.DataFrame, cleaned: pd.Series, out_kind: str,
+                 drop_blank: bool) -> pd.DataFrame:
+        keep = np.ones(len(grp), dtype=bool)
+        if drop_blank:
+            # reference blank test (F8): `if not text.strip()` — Python
+            # whitespace semantics via the shared PY_WHITESPACE set
+            keep = (cleaned.notna()
+                    & (cleaned.str.translate(ws_del).str.len() > 0)
+                    ).to_numpy()
+        return pd.DataFrame({
+            "doc_id": grp["doc_id"].to_numpy()[keep],
+            "ord0": grp["offset"].to_numpy()[keep].astype("int32"),
+            "ord1": np.zeros(int(keep.sum()), dtype="int32"),
+            "kind": out_kind,
+            "text": cleaned.to_numpy()[keep],
+            "media_ref": "",
+        })
+
+    def _html(grp: pd.DataFrame) -> pd.DataFrame:
+        blocks = parse_html_rows(grp["text"].reset_index(drop=True))
+        if blocks.empty:
+            return blocks
+        ord1 = blocks.groupby("row", sort=False).cumcount()
+        idx = blocks["row"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": grp["doc_id"].to_numpy()[idx],
+            "ord0": grp["offset"].to_numpy()[idx].astype("int32"),
+            "ord1": ord1.to_numpy().astype("int32"),
+            "kind": blocks["kind"].to_numpy(),
+            "text": blocks["text"].to_numpy(),
+            "media_ref": blocks["media_ref"].to_numpy(),
+        })
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for kind, grp in pdf.groupby("kind", sort=False):
+                grp = grp.reset_index(drop=True)
+                if kind == "html":
+                    out = _html(grp)
+                elif kind == "text":
+                    out = _one2one(grp, clean_and_fix_series(grp["text"]),
+                                   "text", drop_blank=True)
+                elif kind == "docx":
+                    out = _one2one(grp, docx_clean_series(grp["text"]),
+                                   "text", drop_blank=True)
+                elif kind == "docx_table":
+                    out = _one2one(grp,
+                                   table_clean_series(grp["text"], False),
+                                   "table", drop_blank=False)
+                else:  # "table"
+                    out = _one2one(grp,
+                                   table_clean_series(grp["text"], True),
+                                   "table", drop_blank=False)
+                if len(out):
+                    yield out
+
+    return src.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
+    """Input docs -> union of parsed rows (PARSED_SCHEMA), reading the
+    spans payload in THREE passes total (JVM arm, Python arm, pdf arm —
+    see module docstring). ``pdf_vlm`` selects the VLM whole-doc PDF
+    parser instead of the layout pipeline (the reference's alternative
+    parser, pdf_parser_vlm.py)."""
     exploded = explode_spans(df, exclude_pdf=True)
 
     # Blank test (F8): the reference's `if not text.strip()` — Python
     # strip semantics via the shared PY_WHITESPACE set (translate is
     # also codegen, where the old (?U)\s rlike was not, and Java's \s
     # misses U+001C-001F)
-    def _non_blank(col: str) -> F.Column:
+    def _non_blank(col) -> F.Column:
         return F.length(F.translate(col, PY_WHITESPACE, "")) > 0
 
-    def _text_shape(clean_col: F.Column, src: DataFrame) -> DataFrame:
-        return (
-            src.withColumn("_clean", clean_col)
-            .filter(F.col("_clean").isNotNull() & _non_blank("_clean"))
-            .select(
-                "doc_id",
-                F.col("offset").alias("ord0"),
-                F.lit(0).alias("ord1"),
-                F.lit("text").alias("kind"),
-                F.col("_clean").alias("text"),
-                F.lit("").alias("media_ref"),
-            )
-        )
-
-    # The clean kernel's Python-only steps (/uniXXXX unescape, mojibake
-    # re-decode) are no-ops unless their trigger pattern is present
+    # JVM arm: clean-majority text + image passthrough + unknown-kind
+    # failure rows, ONE scan, dispatched by in-row CASE. The clean
+    # kernel's Python-only steps (/uniXXXX unescape, mojibake re-decode)
+    # are no-ops unless their trigger pattern is present
     # (needs_python_column), so the overwhelming clean majority runs
     # the EXACT same transform as the JVM translate chain and never
     # leaves whole-stage codegen; only flagged rows cross into the
-    # pandas kernel. A F.when() over the UDF would NOT give this —
+    # pandas kernel. A F.when() over a pandas UDF would NOT give this —
     # Spark extracts pandas UDFs into their own projection and
     # evaluates them for every row regardless of the branch — hence
-    # the filter/filter/union split. The fork duplicates only the
-    # scan+explode subtree (columnar, no UDF upstream), which is noise
-    # next to removing the Arrow crossing for ~99% of rows.
-    text_src = exploded.filter(F.col("kind") == "text")
+    # the two-arm split.
     is_py = needs_python_column(F.col("text"))
-    text_rows = _text_shape(
-        clean_text_column(F.col("text")), text_src.filter(~is_py)
-    ).unionByName(_text_shape(clean_udf("text"),
-                              text_src.filter(is_py)))
-
-    # DocParser path (docx_parser.py:43-49): text items NFC->clean->fix;
-    # table cells clean ONLY (the reference's to_utf8 asymmetry). Generic
-    # "table" spans (pptx/xlsx ingest mapping) get the pdf/html cell rule.
-    docx_rows = (
-        exploded.filter(F.col("kind") == "docx")
-        .withColumn("_clean", make_docx_clean_udf()("text"))
-        .filter(F.col("_clean").isNotNull() & _non_blank("_clean"))
+    is_known = F.col("kind").isin(*INPUT_KINDS)
+    clean = clean_text_column(F.col("text"))
+    jvm_rows = (
+        exploded
+        .filter(((F.col("kind") == "text") & ~is_py)
+                | (F.col("kind") == "image") | ~is_known)
+        .withColumn("_clean",
+                    F.when(F.col("kind") == "text", clean))
+        .filter((F.col("kind") != "text")
+                | (F.col("_clean").isNotNull() & _non_blank(F.col("_clean"))))
         .select(
             "doc_id",
             F.col("offset").alias("ord0"),
             F.lit(0).alias("ord1"),
-            F.lit("text").alias("kind"),
-            F.col("_clean").alias("text"),
-            F.lit("").alias("media_ref"),
+            F.when(F.col("kind") == "text", F.lit("text"))
+            .when(F.col("kind") == "image", F.lit("image"))
+            .otherwise(F.lit(FAIL_KIND)).alias("kind"),
+            F.when(F.col("kind") == "text", F.col("_clean"))
+            .when(F.col("kind") == "image", F.lit(""))
+            .otherwise(F.lit(None).cast("string")).alias("text"),
+            F.when(F.col("kind") == "image",
+                   F.coalesce("media_ref", F.lit("")))
+            .when(F.col("kind") == "text", F.lit(""))
+            .otherwise(F.lit(None).cast("string")).alias("media_ref"),
         )
     )
 
-    def _table_rows(kind: str, fix_cells: bool) -> DataFrame:
-        return exploded.filter(F.col("kind") == kind).select(
-            "doc_id",
-            F.col("offset").alias("ord0"),
-            F.lit(0).alias("ord1"),
-            F.lit("table").alias("kind"),
-            make_table_clean_udf(fix_cells)("text").alias("text"),
-            F.lit("").alias("media_ref"),
-        )
-
-    docx_table_rows = _table_rows("docx_table", fix_cells=False)
-    table_rows = _table_rows("table", fix_cells=True)
-
-    image_rows = exploded.filter(F.col("kind") == "image").select(
-        "doc_id",
-        F.col("offset").alias("ord0"),
-        F.lit(0).alias("ord1"),
-        F.lit("image").alias("kind"),
-        F.lit("").alias("text"),
-        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
-    )
-
-    html_rows = html_branch(
-        exploded.filter(F.col("kind") == "html").select("doc_id", "offset", "text")
-    )
-
-    unknown_rows = (
-        exploded.filter(~F.col("kind").isin(*INPUT_KINDS))
-        .select(
-            "doc_id",
-            F.col("offset").alias("ord0"),
-            F.lit(0).alias("ord1"),
-            F.lit(FAIL_KIND).alias("kind"),
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("media_ref"),
-        )
+    # Python arm: ONE mapInPandas pass for html + docx + tables + the
+    # flagged text sliver; Arrow transfer trimmed to the 4 needed cols.
+    py_rows = _python_parse_branch(
+        exploded
+        .filter(F.col("kind").isin("html", "docx", "docx_table", "table")
+                | ((F.col("kind") == "text") & is_py))
+        .select("doc_id", "offset", "kind", "text")
     )
 
     pdf_docs = (
@@ -187,9 +239,7 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
     )
 
     return (
-        text_rows.unionByName(docx_rows).unionByName(docx_table_rows)
-        .unionByName(table_rows).unionByName(image_rows)
-        .unionByName(html_rows).unionByName(unknown_rows)
+        jvm_rows.unionByName(py_rows)
         .unionByName(pdf_rows).unionByName(marker_rows)
     )
 

@@ -74,6 +74,20 @@ def test_extract_pipeline_shape(spark, entry):
     assert "BatchEvalPython" not in p
 
 
+def test_extract_scan_count(spark, entry):
+    """Every union arm re-reads the input table, so arm count IS scan
+    count at 100 TB. The fused r3 plan holds extract() to 4 scans —
+    JVM arm, fused Python arm, pdf arm, doc_id-only marker — and ONE
+    Python projection stage beyond the two mapInPandas parsers (the
+    serializer). The r2 shape measured 10 scans / 7 ArrowEvalPython."""
+    p = plan(entry.queries()["extract_pipeline"](spark, SF),
+             mode="simple")
+    assert p.count("FileScan") <= 4
+    assert p.count("Exchange") == 1
+    assert p.count("ArrowEvalPython") <= 1
+    assert p.count("MapInPandas") <= 2
+
+
 def test_jvm_stages_whole_stage_codegen(spark, entry):
     """With AQE off (AQE hides codegen markers until runtime), the
     scalar cleaning kernel (translate/concat — F5/F6) fuses into a
