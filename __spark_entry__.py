@@ -33,6 +33,7 @@ from document_parser_spark.config import (
     REPLACEMENT_CHAR,
 )
 from document_parser_spark.ops import curation as cur
+from document_parser_spark.ops import interleave as il
 from document_parser_spark.ops import decontam as dc
 from document_parser_spark.ops import dedup as dd
 from document_parser_spark.ops import lm as lmo
@@ -868,6 +869,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("decode_error").isNotNull().cast("long")
             .alias("has_error"))
     q["multimodal_decode_stub"] = mm_decode
+
+    # ---- interleaved text+media curation (the payload tier) ---------------
+    def _mid_image_span_docs(docs):
+        """Interleaved derivation with the image MID-document (position
+        n/2) so caption mining exercises before/after/tie geometry:
+        8-word text chunks; doc_id % 3 == 0 additionally carries one
+        image span spliced at chunk-list midpoint."""
+        chunks = F.expr("""
+            transform(
+              sequence(0, int(ceil(size(split(text, ' ')) / 8.0)) - 1),
+              i -> named_struct(
+                'kind', 'text',
+                'text', concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)),
+                'media_ref', '', 'offset', cast(i as int)))
+        """)
+        spliced = F.expr("""
+            concat(
+              slice(c, 1, size(c) div 2),
+              array(named_struct(
+                'kind', 'image', 'text', '',
+                'media_ref', concat('img://', cast(doc_id as string)),
+                'offset', cast(size(c) div 2 as int))),
+              slice(c, size(c) div 2 + 1, size(c) - size(c) div 2))
+        """)
+        return (docs.select("doc_id", chunks.alias("c"))
+                .select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.when(F.pmod("doc_id", F.lit(3)) == 0, spliced)
+                        .otherwise(F.col("c")).alias("spans")))
+
+    def interleave_gate(spark, sf):
+        """OBELICS-style media-density document gate over the
+        interleaved span table: per-doc span/image/char counts and an
+        integer-exact keep flag, all in-row (zero shuffle)."""
+        return il.interleave_stats(
+            _mid_image_span_docs(_tbl(spark, sf, "documents")))
+    q["interleave_media_gate"] = interleave_gate
+
+    def caption_pairs(spark, sf):
+        """MMC4-style image-caption pair mining: nearest candidate text
+        span per image by reading-order distance (ties -> preceding),
+        length floor + gap cap, entirely in higher-order functions."""
+        return il.image_caption_pairs(
+            _mid_image_span_docs(_tbl(spark, sf, "documents")))
+    q["interleave_caption_pairs"] = caption_pairs
 
     def j1_ocr(spark, sf):
         """J1 proper: the OCR insert-after operator on a derived span
@@ -2244,6 +2289,60 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, octet_length(unhex(md5(text)))::bigint AS n_bytes,
                  substr(md5(text), 1, 8) AS header_hex
           FROM documents
+        """,
+        # interleave oracles: thresholds interpolated from the op
+        # module's constants so Spark and SQL can never drift (the
+        # single-image derivation makes the max-images arm of the gate
+        # vacuous here; unit tests exercise it with multi-image docs)
+        "interleave_media_gate": f"""
+          WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
+                     FROM documents),
+          chunks AS (SELECT doc_id, i,
+                            array_to_string(arr[i*8+1 : i*8+8], ' ') AS ch
+                     FROM (SELECT doc_id, arr,
+                                  unnest(range((len(arr) + 7) // 8)) AS i
+                           FROM s)),
+          agg AS (SELECT doc_id, count(*) AS n_text,
+                         sum(length(ch)) AS chars
+                  FROM chunks GROUP BY doc_id)
+          SELECT doc_id::varchar AS doc_id,
+                 (n_text + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::bigint
+                 AS n_spans,
+                 n_text::bigint AS n_text,
+                 (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::bigint
+                 AS n_images,
+                 chars::bigint AS text_chars,
+                 (CASE WHEN doc_id % 3 = 0
+                       THEN CASE WHEN chars >= {il.MIN_CHARS_PER_IMAGE}
+                            THEN 1 ELSE 0 END
+                       ELSE 1 END)::bigint AS keep
+          FROM agg
+        """,
+        "interleave_caption_pairs": f"""
+          WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
+                     FROM documents WHERE doc_id % 3 = 0),
+          meta AS (SELECT doc_id, arr, (len(arr) + 7) // 8 AS n,
+                          ((len(arr) + 7) // 8) // 2 AS h
+                   FROM s),
+          cand AS (SELECT doc_id, h,
+                          i + (CASE WHEN i >= h THEN 1 ELSE 0 END) AS pos,
+                          array_to_string(arr[i*8+1 : i*8+8], ' ') AS ch
+                   FROM (SELECT doc_id, arr, h, unnest(range(n)) AS i
+                         FROM meta)),
+          ranked AS (SELECT doc_id, h, pos, ch, abs(pos - h) AS gap,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY abs(pos - h), pos)
+                            AS rn
+                     FROM cand
+                     WHERE length(ch) >= {il.MIN_CAPTION_CHARS})
+          SELECT doc_id::varchar AS doc_id,
+                 'img://' || doc_id::varchar AS media_ref,
+                 h::bigint AS img_pos,
+                 pos::bigint AS cap_pos,
+                 gap::bigint AS gap,
+                 CASE WHEN pos < h THEN 'before' ELSE 'after' END AS side,
+                 ch AS caption
+          FROM ranked WHERE rn = 1 AND gap <= {il.MAX_CAPTION_GAP}
         """,
         "agg_lineitem_pricing": """
           SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,123 @@
+"""Interleaved-document ops: media-density gate semantics and
+image-caption pair mining (nearest text span, preceding-on-tie,
+gap cap, candidate length floor) against brute-force Python."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_parser_spark.ops.interleave import (
+    image_caption_pairs,
+    interleave_stats,
+)
+
+SPAN_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>")
+
+
+def _doc(doc_id, kinds_texts):
+    return (doc_id, [(k, t, f"m://{doc_id}/{i}" if k == "image" else "",
+                      i) for i, (k, t) in enumerate(kinds_texts)])
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # text-only doc, plenty of chars
+        _doc("t1", [("text", "x" * 100), ("text", "y" * 100)]),
+        # balanced interleaved doc: caption before and after the image
+        _doc("mix", [("text", "a" * 30), ("image", ""),
+                     ("text", "b" * 30)]),
+        # image-led doc (caption only after)
+        _doc("after", [("image", ""), ("text", "c" * 40)]),
+        # image farm: 3 images, thin text -> gate drops it
+        _doc("farm", [("image", ""), ("image", ""), ("image", ""),
+                      ("text", "d" * 10)]),
+        # caption too far away (gap 4 > max_gap 3)
+        _doc("far", [("text", "e" * 50), ("text", "s"), ("text", "s"),
+                     ("text", "s"), ("image", "")]),
+        # no text at all
+        _doc("imgonly", [("image", "")]),
+        # short candidates skipped, long one further away wins
+        _doc("skip", [("text", "f" * 50), ("text", "tiny"),
+                      ("image", "")]),
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def sdf(spark, docs):
+    return spark.createDataFrame(docs, SPAN_SCHEMA)
+
+
+def _brute_pairs(docs, max_gap, min_chars):
+    out = []
+    for doc_id, spans in docs:
+        cands = [(i, t) for i, (k, t, _, _) in enumerate(spans)
+                 if k == "text" and t is not None and len(t) >= min_chars]
+        for i, (k, _, m, _) in enumerate(spans):
+            if k != "image":
+                continue
+            best = None
+            for (j, t) in cands:
+                d = abs(j - i)
+                if best is None or d < best[0]:
+                    best = (d, j, t)
+            if best and best[0] <= max_gap:
+                side = "before" if best[1] < i else "after"
+                out.append((doc_id, m, i, best[1], best[0], side, best[2]))
+    return sorted(out)
+
+
+def test_pairs_match_brute_force(sdf, docs):
+    got = sorted(tuple(r) for r in
+                 image_caption_pairs(sdf, max_gap=3,
+                                     min_caption_chars=20).collect())
+    assert got == _brute_pairs(docs, 3, 20)
+
+
+def test_tie_prefers_preceding(sdf):
+    rows = {r.doc_id: r for r in
+            image_caption_pairs(sdf, max_gap=3,
+                                min_caption_chars=20).collect()}
+    assert rows["mix"].side == "before" and rows["mix"].cap_pos == 0
+    assert rows["after"].side == "after"
+
+
+def test_gap_cap_and_candidate_floor(sdf):
+    ids = {r.doc_id for r in
+           image_caption_pairs(sdf, max_gap=3,
+                               min_caption_chars=20).collect()}
+    assert "far" not in ids          # nearest candidate at gap 4
+    assert "imgonly" not in ids      # no candidates at all
+    # 'skip': tiny (gap 1) is below the floor; f*50 at gap 2 wins
+    got = {r.doc_id: r for r in
+           image_caption_pairs(sdf, max_gap=3,
+                               min_caption_chars=20).collect()}
+    assert got["skip"].cap_pos == 0 and got["skip"].gap == 2
+
+
+def test_stats_gate(sdf):
+    st = {r.doc_id: r for r in
+          interleave_stats(sdf, max_images=2,
+                           min_chars_per_image=25).collect()}
+    assert st["t1"].keep == 1 and st["t1"].n_images == 0
+    assert st["t1"].text_chars == 200
+    assert st["farm"].keep == 0      # 3 images > max 2 AND thin text
+    assert st["imgonly"].keep == 0   # no text spans
+    assert st["mix"].keep == 1       # 60 chars >= 25 * 1 image
+    # chars-per-image rule alone: 1 image but only 10*4=40... farm has
+    # 10 chars, 3 images -> needs 75
+    assert st["farm"].text_chars == 10
+
+
+def test_stats_no_shuffle(spark, sdf):
+    plan = interleave_stats(sdf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    pairs_plan = image_caption_pairs(sdf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in pairs_plan
+    assert "BatchEvalPython" not in pairs_plan
+    assert "ArrowEvalPython" not in pairs_plan
