@@ -62,6 +62,111 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Driver-window risk ordering (r3 VERDICT #1): the correctness harness
+# has verified exactly the FIRST 50 dict entries per round, so
+# insertion order is a verification budget. Head slots go to (a) every
+# query with no green driver row yet (the whole extraction family —
+# including extract_markdown_roundtrip, red in r2 — the interleave
+# payload ops, and every r3 batch-2/3 addition), and (b) every query
+# whose operator was modified THIS round (chunk_dedup repacking,
+# shingle-cache release, reassemble guard, NULL-span guards). The
+# demoted tail is exclusively queries with green r3 driver rows whose
+# operators are untouched this round; they rotate back into the head
+# next round if the window still truncates.
+_DRIVER_PRIORITY = (
+    # never driver-verified (r3 window ended at index 49)
+    "extract_pipeline",
+    "extract_markdown_roundtrip",
+    "extract_html_roundtrip",
+    "extract_html_rich_roundtrip",
+    "extract_referenced_images",
+    "pdf_vlm_roundtrip",
+    "j1_ocr_insert_after",
+    "interleave_media_gate",
+    "interleave_caption_pairs",
+    "agg_lineitem_pricing",
+    "join_revenue_by_nation",
+    "events_asof_join",
+    "events_rollup",
+    "events_json_props",
+    "emb_covariance",
+    "emb_quantize_int8",
+    "text_entropy_stats",
+    "text_dup_ngrams",
+    "text_winnow_fingerprints",
+    "text_blocklist_gate",
+    "text_classifier_gate",
+    "text_quality_tiers",
+    "text_length_outliers",
+    "chunk_sliding_windows",
+    "shuffle_global_order",
+    "top_docs_per_source",
+    "corpus_source_stats",
+    # operators touched this round — must re-verify
+    "dedup_chunks",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_pruned",
+    "decontam_fuzzy",
+    "a1_reassemble_roundtrip",
+    # extraction-core semantics (load-bearing; cheap; keep in window)
+    "s2_kind_gate",
+    "a4_failure_tally",
+    "a3_progress_checkpoints",
+    "j1_enrichment_join",
+    "j2_translate_zip",
+    "restart_anti_join",
+    "f6_clean_invisibles",
+    "f3_nfc_docx",
+    "f3_docx_table_asymmetry",
+    "w1_first_last_span",
+    "w2_block_clustering",
+    "w3_session_breaks",
+    "w3_session_windows",
+    "a2_first3_sample",
+    "dedup_exact",
+    "dedup_cluster_components",
+    "dedup_survivors",
+    # ---- slot 51+ (green in r3, untouched this round) ----
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "curation_funnel",
+    "curation_domain_gate",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "text_vocab_topk",
+    "text_rolling_fingerprints",
+    "text_bigram_lm",
+    "search_bm25",
+    "text_redact_pii",
+    "shard_token_budget",
+    "sample_hash_deterministic",
+    "sample_stratified_quota",
+    "sample_stratified_fractions",
+    "sample_split_assign",
+    "sample_exact_k",
+    "corpus_drift_kl",
+    "decontam_ngram_hits",
+    "ann_cosine_threshold",
+    "ann_lsh_buckets",
+    "multimodal_meta",
+    "multimodal_decode_stub",
+)
+
+
+def _priority_order(q: dict) -> dict:
+    """Reorder a query/oracle dict by _DRIVER_PRIORITY; names missing
+    from the table keep their build order at the tail (fail-safe for
+    future additions — a test asserts the table stays exhaustive)."""
+    out = {k: q[k] for k in _DRIVER_PRIORITY if k in q}
+    out.update({k: v for k, v in q.items() if k not in out})
+    return out
+
+
 _PKG_SESSIONS: set[int] = set()
 
 
@@ -1264,7 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               .cast("array<string>"))).alias("sel_sig"))
     q["text_winnow_fingerprints"] = winnow
 
-    return q
+    return _priority_order(q)
 
 
 # ---------------------------------------------------------------------------
@@ -1621,7 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
         for i, d in enumerate(dd.SIGN_LSH_DIMS))
 
-    return {
+    return _priority_order({
         "a1_reassemble_roundtrip": f"""
           WITH {_E_CTE}
           SELECT doc_id, count(*)::bigint AS n_spans,
@@ -2021,8 +2126,7 @@ def oracle_sql() -> dict[str, str]:
                         AS i
                  FROM ws),
           chf AS (SELECT doc_id, i AS pos, chunk,
-                         {h60.format(s="chunk")} AS h,
-                         doc_id * {dd.CHUNK_POS_PACK} + i AS wkey
+                         {h60.format(s="chunk")} AS h
                   FROM (SELECT doc_id, i,
                                array_to_string(list_slice(w,
                                    i * {dd.CHUNK_WORDS} + 1,
@@ -2031,9 +2135,14 @@ def oracle_sql() -> dict[str, str]:
                                AS chunk
                         FROM ix)
                   WHERE chunk <> ''),
-          win AS (SELECT min(wkey) AS wkey FROM chf GROUP BY h),
+          -- earliest occurrence = argmin (doc_id, pos) per hash: the
+          -- same total order as Spark's min(struct(doc_id, pos))
+          win AS (SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos, row_number() OVER (
+                      PARTITION BY h ORDER BY doc_id, pos) AS rn
+                    FROM chf) WHERE rn = 1),
           kept AS (SELECT c.doc_id, c.pos, c.chunk
-                   FROM chf c JOIN win USING (wkey)),
+                   FROM chf c JOIN win USING (doc_id, pos)),
           tot AS (SELECT doc_id, count(*)::bigint AS n_chunks
                   FROM chf GROUP BY doc_id),
           reb AS (SELECT doc_id, count(*)::bigint AS n_kept,
@@ -2627,4 +2736,4 @@ def oracle_sql() -> dict[str, str]:
         # every queries() entry now has an oracle: extract_pipeline
         # gained its composed one (union of the two family
         # reconstructions) in round 3.
-    }
+    })

@@ -237,17 +237,6 @@ def needs_python_column(col):
     return col.contains(_UNI_LIT) | col.rlike(_MOJIBAKE_PAT)
 
 
-def make_clean_udf():
-    """Scalar pandas UDF for the full kernel (string -> string)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def clean_and_fix_udf(s: pd.Series) -> pd.Series:
-        return clean_and_fix_series(s)
-
-    return clean_and_fix_udf
-
-
 def make_docx_clean_udf():
     """Scalar pandas UDF for the DocParser text kernel (NFC -> clean
     -> fix)."""

@@ -23,7 +23,6 @@ from __future__ import annotations
 import re
 from html import unescape as _unescape
 from html.parser import HTMLParser
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -682,30 +681,8 @@ def parse_html_rows(htmls: pd.Series) -> pd.DataFrame:
     return blocks[["row", "seq", "kind", "text", "media_ref"]]
 
 
-def html_branch(exploded_df):
-    """Spark stage: exploded html spans -> parsed-span rows (PARSED_SCHEMA).
-
-    Input columns: doc_id, offset (span offset), text (the HTML payload).
-    ord0 = input span offset, ord1 = block rank within the span.
-    """
-    from document_parser_spark.schema import PARSED_SCHEMA
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            blocks = parse_html_rows(pdf["text"].reset_index(drop=True))
-            if blocks.empty:
-                continue
-            ord1 = blocks.groupby("row", sort=False).cumcount()
-            idx = blocks["row"].to_numpy()
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy()[idx],
-                "ord0": pdf["offset"].to_numpy()[idx].astype("int32"),
-                "ord1": ord1.to_numpy().astype("int32"),
-                "kind": blocks["kind"].to_numpy(),
-                "text": blocks["text"].to_numpy(),
-                "media_ref": blocks["media_ref"].to_numpy(),
-            })
-
-    return exploded_df.mapInPandas(run, schema=PARSED_SCHEMA)
+# NOTE: the per-kind Spark stage that used to live here (html_branch)
+# was superseded by the fused Python arm in plans/pipeline.py
+# (_python_parse_branch dispatches html alongside every other
+# Python-kernel kind inside ONE mapInPandas scan) and deleted so the
+# two paths cannot drift (r3 ADVICE).

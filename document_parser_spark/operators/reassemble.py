@@ -78,7 +78,8 @@ def _single_phase(parsed: DataFrame) -> DataFrame:
 def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
                salted: bool = True,
                salt_threshold: int | None = None,
-               hot_docs: DataFrame | None = None) -> DataFrame:
+               hot_docs: DataFrame | None = None,
+               estimate_from_parsed: bool = False) -> DataFrame:
     """PARSED_SCHEMA rows -> (doc_id, spans array<struct> in reading order
     with offsets renumbered 0..n-1, n_failures).
 
@@ -105,8 +106,12 @@ def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
 
     The hot set comes from ``hot_docs`` (doc_id rows) if given —
     ``extract`` passes the ingest-flagged giant bucket (or a raw-scan
-    estimate); without it, sizes are counted from ``parsed`` itself
-    (fine for a materialized relation, wasteful for a UDF pipeline).
+    estimate). Without it, adaptive mode requires an explicit
+    ``estimate_from_parsed=True``: the per-doc count is then collected
+    from ``parsed`` itself, which RE-EXECUTES its whole lineage — fine
+    for a materialized/scanned relation, a double parse for a UDF
+    pipeline (the regression the r2 verdict closed; guarded per r3
+    VERDICT #5 so no future caller trips it silently).
     When the hot_docs lineage constant-folds to empty (e.g. a
     ``lit('s')`` size_bucket), the collect is served from the
     LocalRelation WITHOUT launching any Spark job — adaptive mode then
@@ -120,6 +125,15 @@ def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
             docs = _two_phase(parsed, salt_buckets)
         else:
             if hot_docs is None:
+                if not estimate_from_parsed:
+                    raise ValueError(
+                        "reassemble(salt_threshold=...) needs a hot-doc "
+                        "estimate that does not re-execute the parse "
+                        "lineage: pass hot_docs (extract() derives it "
+                        "from the ingest size_bucket / raw spans), or "
+                        "opt in with estimate_from_parsed=True if "
+                        "`parsed` is a materialized relation whose "
+                        "re-scan is cheap")
                 hot_docs = (parsed.groupBy("doc_id")
                             .agg(F.count("*").alias("_n"))
                             .filter(F.col("_n") > salt_threshold)

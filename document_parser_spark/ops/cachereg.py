@@ -1,0 +1,59 @@
+"""Tracked persist registry for the dedup/decontam shingle relations.
+
+``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` / ``fuzzy_contamination``
+each persist + eagerly materialize one shingle relation because their
+consumers (both candidate-join sides, the verification join, the size
+table) sit in independent stages that would otherwise race an empty
+lazy cache and each recompute the explode+distinct (measured 4x,
+round-2 fix). The relation must therefore outlive the function — but a
+long session that runs many dedup queries must not stack one persisted
+relation per call (r2 ADVICE #4, r3 VERDICT #3).
+
+Contract: each top-level operator call **releases the caches of prior
+calls on entry** (then tracks its own), so a session holds at most one
+operator's working set and a loop over corpora is self-cleaning. The
+caller-visible rule is the natural one: *materialize an operator's
+result before invoking the next cached operator* — releasing a cache
+under a still-lazy result is safe (Spark recomputes the lineage), just
+slower. In-repo callers (driver queries, bench, curation) all collect
+or write each result before the next call. ``release_session_caches``
+is also exposed directly for tests / session teardown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist + eagerly materialize ``df`` and register it for
+    release by the next top-level cached-operator call."""
+    df = df.persist()
+    df.count()
+    _LIVE.append(df)
+    return df
+
+
+def register(df: DataFrame) -> DataFrame:
+    """Register an already-persisted relation for deferred release."""
+    _LIVE.append(df)
+    return df
+
+
+def release_session_caches() -> int:
+    """Unpersist every tracked relation; returns how many were freed."""
+    n = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
+
+def live_count() -> int:
+    return len(_LIVE)

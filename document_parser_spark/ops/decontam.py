@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from document_parser_spark.ops import cachereg
 from document_parser_spark.ops.dedup import (
     JACCARD_THRESHOLD, MINHASH_BANDS, MINHASH_HASHERS, SHINGLE_N,
     _band_signatures, _signatures_from_hashed, hashed_shingles, shingles)
@@ -61,13 +62,15 @@ def fuzzy_contamination(corpus: DataFrame, benchmark: DataFrame,
     kernel verbatim (same 60-bit shingle hash, same affine maps, same
     band digest), so the SQL oracle replicates it literally.
     """
+    if reuse_shingles:
+        cachereg.release_session_caches()
     c_sh = hashed_shingles(shingles(corpus, n))
     if reuse_shingles:
         # eager materialization — see ngram_jaccard_pairs for why a
         # lazy persist is recomputed by every concurrent consumer;
-        # released by spark.catalog.clearCache() (session-bounded).
-        c_sh = c_sh.persist()
-        c_sh.count()
+        # released by the NEXT cached-operator call / explicit
+        # cachereg.release_session_caches() (r3 VERDICT #3).
+        c_sh = cachereg.track_persist(c_sh)
     b_sh = hashed_shingles(shingles(benchmark, n)) \
         .withColumnRenamed("doc_id", "bench_id")
     c_bands = _band_signatures(

@@ -30,6 +30,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
+from document_parser_spark.ops.cachereg import (
+    register,
+    release_session_caches,
+    track_persist,
+)
 from document_parser_spark.ops.hashing import hash_col
 
 SHINGLE_N = 3
@@ -188,12 +193,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     persists it so the explode+distinct shuffle runs once, not 4x —
     at cluster scale this is a materialized intermediate table.
 
-    Cache ownership: the persisted relation backs the *returned*
-    (lazy) DataFrame, so this function cannot unpersist it. Callers
-    that loop over many corpora in one session should release it with
-    ``spark.catalog.clearCache()`` after materializing the result;
-    one-shot jobs (the normal case) let executor eviction / session
-    teardown reclaim it."""
+    Cache ownership (r3 VERDICT #3): the persisted relation backs the
+    *returned* (lazy) DataFrame, so this function cannot unpersist it
+    — instead every top-level cached operator call first releases the
+    caches tracked by PRIOR calls (``ops.cachereg``), so a session
+    holds at most one operator's working set no matter how many dedup
+    queries it runs. Materialize each result before the next operator
+    call (all in-repo callers do); a release under a still-lazy result
+    merely recomputes."""
+    if reuse_shingles:
+        release_session_caches()
     # hash the shingles BEFORE persisting: joins shuffle 8-byte longs
     # (oracle computes the identical hash — compare stays exact)
     sh = hashed_shingles(shingles(docs, n))
@@ -211,8 +220,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
         # persist they all race the empty cache and each recomputes
         # the explode+distinct. The eager count is one extra small job
         # that makes every later stage a cache read.
-        sh = sh.persist()
-        sh.count()
+        sh = track_persist(sh)
     if max_df is None:
         # shared-shingle self-join IS the intersection count: one
         # groupBy instead of candidate-distinct + verification re-join
@@ -354,12 +362,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = SHINGLE_N,
                       reuse_shingles: bool = True) -> DataFrame:
     """MinHash signatures -> banded LSH candidates -> exact-Jaccard
     verification. -> (ida, idb, jaccard)."""
+    if reuse_shingles:
+        release_session_caches()
     sh = hashed_shingles(shingles(docs, n), fast_hash)
     if reuse_shingles:
         # eager materialization — see ngram_jaccard_pairs for why a
         # lazy persist is recomputed by every concurrent consumer
-        sh = sh.persist()
-        sh.count()
+        sh = track_persist(sh)
     band_sig = _band_signatures(
         _signatures_from_hashed(sh, hashers), hashers, bands)
     cand = (
@@ -521,8 +530,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()   # labels is persisted + materialized already
-    return labels
+    edges.unpersist()
+    # the final labels relation stays persisted (it backs the returned
+    # DataFrame and the convergence loop already materialized it);
+    # register it so the next top-level cached-operator call frees it
+    return register(labels)
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -598,11 +610,6 @@ def embedding_neardup_pairs(emb: DataFrame,
 # fixed-span granularity) or regex-split paragraphs/lines.
 
 CHUNK_WORDS = 20
-# winner key packs (doc_id, pos) into one BIGINT so "earliest
-# occurrence" is a plain min() — map-side combinable, and the DuckDB
-# oracle can quote the same packing. Bounds: pos < 2^20 chunks/doc
-# (the ingest span cap guarantees far less) and doc_id < 2^43.
-CHUNK_POS_PACK = 1 << 20
 
 
 def chunk_dedup(docs: DataFrame, k: int = CHUNK_WORDS,
@@ -618,16 +625,21 @@ def chunk_dedup(docs: DataFrame, k: int = CHUNK_WORDS,
     Scale shape (the reason this is not a window function):
 
     * chunking + hashing are per-row codegen (no Python);
-    * "earliest occurrence" is ``groupBy(h).min(packed_key)`` —
-      map-side partial aggregation, so a chunk repeated a billion
-      times ships ONE candidate row per task, never a billion rows to
-      one reducer (a window over ``h`` would do exactly that);
-    * the winner set joins back on the PACKED KEY, which is unique per
-      chunk row — a skew-free equi-join even when the hash key is
+    * "earliest occurrence" is ``groupBy(h).min(struct(doc_id, pos))``
+      — struct min is an ordinary declarative aggregate, so map-side
+      partial aggregation applies and a chunk repeated a billion times
+      ships ONE candidate row per task, never a billion rows to one
+      reducer (a window over ``h`` would do exactly that). The struct
+      key honors the canonical ``doc_id:string`` schema (BASELINE.json
+      input_hint); the previous arithmetic packing
+      ``doc_id * 2^20 + pos`` required a bigint doc_id < 2^43 and
+      broke on the production table (r3 VERDICT #2);
+    * the winner set joins back on ``(doc_id, pos)``, which is unique
+      per chunk row — a skew-free equi-join even when the hash key is
       pathologically hot;
     * chunk text crosses the doc-keyed rebuild shuffle once (it is the
       payload being rebuilt); the hash-keyed exchange carries only
-      (h, packed_key) pairs.
+      (h, doc_id, pos) triples.
 
     ``fast_hash=True`` swaps the oracle-portable md5-60 for xxhash64
     (production path, same contract).
@@ -646,12 +658,12 @@ def chunk_dedup(docs: DataFrame, k: int = CHUNK_WORDS,
                     .alias("pos", "chunk"))
         .filter(F.col("chunk") != "")
         .withColumn("h", hash_col(F.col("chunk"), fast_hash))
-        .withColumn("wkey", F.col("doc_id") * F.lit(CHUNK_POS_PACK)
-                    + F.col("pos"))
     )
     winners = (ch.groupBy("h")
-               .agg(F.min("wkey").alias("wkey")).select("wkey"))
-    kept = ch.join(winners, "wkey")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+               .select(F.col("w.doc_id").alias("doc_id"),
+                       F.col("w.pos").alias("pos")))
+    kept = ch.join(winners, ["doc_id", "pos"])
     per_doc = ch.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_chunks"))
     rebuilt = (

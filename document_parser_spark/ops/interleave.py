@@ -49,11 +49,20 @@ def interleave_stats(
     Pure codegen in-row aggregates over the spans array — no shuffle,
     no UDF; at 100 TB this is one scan with full column pruning to
     (doc_id, spans).
+
+    A NULL spans array is treated as empty (r3 ADVICE): the row gets
+    ``n_* = 0`` and an explicit ``keep = 0`` (no text), never a NULL
+    keep that would leak through a downstream ``keep == 0`` drop
+    filter.
     """
-    n_text = F.size(F.filter("spans", lambda s: s["kind"] == "text"))
-    n_images = F.size(F.filter("spans", lambda s: s["kind"] == "image"))
+    spans = F.coalesce(
+        F.col("spans"),
+        F.expr("cast(array() as array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>)"))
+    n_text = F.size(F.filter(spans, lambda s: s["kind"] == "text"))
+    n_images = F.size(F.filter(spans, lambda s: s["kind"] == "image"))
     text_chars = F.aggregate(
-        "spans",
+        spans,
         F.lit(0).cast("long"),
         lambda a, s: a + F.when(
             (s["kind"] == "text") & s["text"].isNotNull(),
@@ -61,7 +70,7 @@ def interleave_stats(
     )
     out = span_docs.select(
         "doc_id",
-        F.size("spans").cast("long").alias("n_spans"),
+        F.size(spans).cast("long").alias("n_spans"),
         n_text.cast("long").alias("n_text"),
         n_images.cast("long").alias("n_images"),
         text_chars.alias("text_chars"),

@@ -53,7 +53,11 @@ _I32_MIN = -2147483648
 
 def explode_spans(df: DataFrame, exclude_pdf: bool = True) -> DataFrame:
     """posexplode(spans) -> one row per span (the iterate_items analogue)."""
-    spans = (F.filter("spans", lambda s: s["kind"] != "pdf_line")
+    # NULL-safe pdf exclusion: `s.kind != 'pdf_line'` is NULL for a
+    # NULL kind and the array filter would silently drop the span
+    # before it can reach the FAIL arm (r3 ADVICE)
+    spans = (F.filter("spans", lambda s: ~F.coalesce(
+                 s["kind"] == "pdf_line", F.lit(False)))
              if exclude_pdf else F.col("spans"))
     return (
         df.select("doc_id", F.posexplode(spans).alias("pos", "span"))
@@ -180,30 +184,35 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
     # Spark extracts pandas UDFs into their own projection and
     # evaluates them for every row regardless of the branch — hence
     # the two-arm split.
-    is_py = needs_python_column(F.col("text"))
-    is_known = F.col("kind").isin(*INPUT_KINDS)
+    # NULL-safety (r3 ADVICE): under SQL three-valued logic a NULL text
+    # or NULL kind would make these predicates NULL and the row would
+    # silently vanish from BOTH arms — violating A4 ("never silently
+    # lose a span"). Coalesce pins them: NULL text is not Python-
+    # flagged (it reaches the JVM arm's blank drop — explicit P3
+    # semantics), NULL kind is not known (routed to the FAIL arm).
+    is_py = F.coalesce(needs_python_column(F.col("text")), F.lit(False))
+    is_known = F.coalesce(F.col("kind").isin(*INPUT_KINDS), F.lit(False))
+    is_text = F.coalesce(F.col("kind") == "text", F.lit(False))
+    is_image = F.coalesce(F.col("kind") == "image", F.lit(False))
     clean = clean_text_column(F.col("text"))
     jvm_rows = (
         exploded
-        .filter(((F.col("kind") == "text") & ~is_py)
-                | (F.col("kind") == "image") | ~is_known)
-        .withColumn("_clean",
-                    F.when(F.col("kind") == "text", clean))
-        .filter((F.col("kind") != "text")
+        .filter((is_text & ~is_py) | is_image | ~is_known)
+        .withColumn("_clean", F.when(is_text, clean))
+        .filter(~is_text
                 | (F.col("_clean").isNotNull() & _non_blank(F.col("_clean"))))
         .select(
             "doc_id",
             F.col("offset").alias("ord0"),
             F.lit(0).alias("ord1"),
-            F.when(F.col("kind") == "text", F.lit("text"))
-            .when(F.col("kind") == "image", F.lit("image"))
+            F.when(is_text, F.lit("text"))
+            .when(is_image, F.lit("image"))
             .otherwise(F.lit(FAIL_KIND)).alias("kind"),
-            F.when(F.col("kind") == "text", F.col("_clean"))
-            .when(F.col("kind") == "image", F.lit(""))
+            F.when(is_text, F.col("_clean"))
+            .when(is_image, F.lit(""))
             .otherwise(F.lit(None).cast("string")).alias("text"),
-            F.when(F.col("kind") == "image",
-                   F.coalesce("media_ref", F.lit("")))
-            .when(F.col("kind") == "text", F.lit(""))
+            F.when(is_image, F.coalesce("media_ref", F.lit("")))
+            .when(is_text, F.lit(""))
             .otherwise(F.lit(None).cast("string")).alias("media_ref"),
         )
     )

@@ -86,6 +86,31 @@ def test_shingle_cache_released_by_clearcache(spark, docs):
     assert sc.getPersistentRDDs().size() == 0
 
 
+def test_shingle_caches_do_not_stack_across_calls(spark, docs):
+    """r3 VERDICT #3: a session looping over dedup operators must NOT
+    accumulate one persisted shingle relation per call. Each top-level
+    cached operator releases the prior call's caches on entry, and an
+    explicit release leaves the catalog empty."""
+    from document_parser_spark.ops import cachereg
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    # simulate the driver/bench loop: materialize, then next operator
+    dd.ngram_jaccard_pairs(docs).count()
+    first_live = cachereg.live_count()
+    assert first_live >= 1
+    dd.minhash_lsh_pairs(docs).count()
+    # the minhash call freed the ngram call's relation before tracking
+    # its own — live count is bounded by ONE call's working set
+    assert cachereg.live_count() <= first_live
+    dd.ngram_jaccard_pairs(docs).count()
+    assert cachereg.live_count() <= first_live
+    # explicit release: nothing persisted remains anywhere
+    cachereg.release_session_caches()
+    assert cachereg.live_count() == 0
+    assert sc.getPersistentRDDs().size() == 0
+
+
 def test_minhash_lsh_subset_of_exact(docs):
     exact = {(r.ida, r.idb) for r in
              dd.ngram_jaccard_pairs(docs, threshold=0.25).collect()}

@@ -112,6 +112,20 @@ def test_stats_gate(sdf):
     assert st["farm"].text_chars == 10
 
 
+def test_stats_null_spans_explicit_drop(spark):
+    """r3 ADVICE: a NULL spans array must yield keep=0 (explicit drop)
+    and zeroed counts, not NULL keep that leaks through keep == 0
+    filters downstream."""
+    sdf = spark.createDataFrame([("nullspans", None),
+                                 ("ok", [("text", "x" * 5000, "", 0)])],
+                                SPAN_SCHEMA)
+    st = {r.doc_id: r for r in interleave_stats(sdf).collect()}
+    r = st["nullspans"]
+    assert (r.n_spans, r.n_text, r.n_images, r.text_chars) == (0, 0, 0, 0)
+    assert r.keep == 0
+    assert st["ok"].keep == 1
+
+
 def test_stats_no_shuffle(spark, sdf):
     plan = interleave_stats(sdf)._jdf.queryExecution() \
         .executedPlan().toString()

@@ -64,6 +64,25 @@ def test_chunk_dedup_paragraph_mode(spark):
     assert out[2].text_dedup == "new paragraph"
 
 
+def test_chunk_dedup_string_doc_ids(spark):
+    # the canonical corpus schema is doc_id:string (BASELINE.json
+    # input_hint) — the operator must not assume a numeric id (the old
+    # winner key packed doc_id*2^20+pos and threw on strings,
+    # r3 VERDICT #2). Earliest occurrence = lexicographically smallest
+    # (doc_id, pos) struct.
+    rows = [
+        ("web/b#2", "a b c x y z"),   # "a b c" loses to web/a#1
+        ("web/a#1", "a b c d e f"),
+        ("s3://bucket/doc-9", "d e f"),  # wins "d e f": "s3..." < "web..."
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in chunk_dedup(docs, k=3).collect()}
+    assert out["web/a#1"].text_dedup == "a b c"
+    assert (out["web/a#1"].n_chunks, out["web/a#1"].n_kept) == (2, 1)
+    assert out["web/b#2"].text_dedup == "x y z"
+    assert out["s3://bucket/doc-9"].text_dedup == "d e f"
+
+
 def test_chunk_dedup_short_tail_chunk(spark):
     # 4 words at k=3 -> chunks "a b c" + "d" (tail shorter than k)
     rows = [(1, "a b c d")]

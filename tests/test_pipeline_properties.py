@@ -42,6 +42,34 @@ def test_synth_corpus_matches_oracle(spark, synth_df):
         assert got[doc_id][2] == want.status, doc_id
 
 
+def test_null_kind_and_null_text_spans_never_vanish(spark):
+    """r3 ADVICE: SQL three-valued logic must not silently drop a span
+    with NULL kind or NULL text from both parse arms. Contract: NULL
+    kind -> FAIL arm (A4 failure row, status parse_failure); NULL text
+    on a text span -> the explicit P3 blank drop (doc survives, status
+    reflects remaining spans)."""
+    from document_parser_spark.plans.pipeline import extract
+
+    schema = ("doc_id string, spans array<struct<kind:string,"
+              "text:string,media_ref:string,offset:int>>")
+    rows = [
+        ("nk", [(None, "orphan payload", "", 0),
+                ("text", "real content here", "", 1)]),
+        ("nt", [("text", None, "", 0),
+                ("text", "surviving text", "", 1)]),
+        ("nt-only", [("text", None, "", 0)]),
+    ]
+    got = _collect(extract(spark.createDataFrame(rows, schema)))
+    # NULL kind = unknown kind -> parse-failure row, tallied not lost
+    assert got["nk"][3] == 1 and got["nk"][2] == "parse_failure"
+    assert [s[1] for s in got["nk"][0]] == ["real content here"]
+    # NULL text -> blank-skip semantics (P3): no failure, span dropped
+    assert got["nt"][3] == 0 and got["nt"][2] == "ok"
+    assert [s[1] for s in got["nt"][0]] == ["surviving text"]
+    # a doc whose only span is NULL text still surfaces (empty marker)
+    assert got["nt-only"][2] == "empty" and got["nt-only"][0] == []
+
+
 def test_salted_equals_unsalted(spark, synth_df):
     from document_parser_spark.plans.pipeline import extract
 

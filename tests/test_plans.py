@@ -124,6 +124,26 @@ def test_reassembly_salt_limits_shuffle_key(spark):
     assert p.count("Exchange") >= 2
 
 
+def test_reassemble_adaptive_requires_hot_doc_source(spark):
+    """r3 VERDICT #5: adaptive mode without ``hot_docs`` used to
+    collect per-doc counts from the parsed relation itself, silently
+    re-executing a UDF parse subtree. Bare adaptive calls must now
+    fail loudly; the explicit opt-in keeps the materialized-relation
+    use (tools/skew_bench.py) working."""
+    import pytest
+
+    from document_parser_spark.operators.reassemble import reassemble
+    from document_parser_spark.plans.pipeline import parse_all_branches
+    from document_parser_spark.sources.synth import fixtures_dataframe
+    parsed = parse_all_branches(fixtures_dataframe(spark))
+    with pytest.raises(ValueError, match="hot_docs"):
+        reassemble(parsed, salt_threshold=1000)
+    # opt-in path still works end to end
+    out = reassemble(parsed, salt_threshold=1000,
+                     estimate_from_parsed=True)
+    assert out.count() > 0
+
+
 def test_dedup_minhash_no_global_sort(spark, entry):
     """LSH pair generation must be pure hash-shuffle work — a global
     Sort would mean an accidental orderBy in the pipeline."""

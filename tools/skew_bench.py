@@ -52,8 +52,11 @@ def build_parsed(spark, hot_spans: int, n_small: int, spans_per_small: int):
 MODES = {
     # always-salt: the round-1 behavior (two-phase for every doc)
     "salted_always": dict(salted=True, salt_threshold=None),
-    # adaptive: two-phase only above the span-count threshold
-    "adaptive": dict(salted=True, salt_threshold=65536),
+    # adaptive: two-phase only above the span-count threshold (the
+    # bench input is a materialized parquet scan, so counting from the
+    # parsed relation itself is the cheap path here)
+    "adaptive": dict(salted=True, salt_threshold=65536,
+                     estimate_from_parsed=True),
     "unsalted": dict(salted=False),
 }
 
