@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = (
     "j1_ocr_insert_after",
     "interleave_media_gate",
     "interleave_caption_pairs",
+    "interleave_image_boilerplate",
     "agg_lineitem_pricing",
     "join_revenue_by_nation",
     "events_asof_join",
@@ -123,11 +124,11 @@ _DRIVER_PRIORITY = (
     "w2_block_clustering",
     "w3_session_breaks",
     "w3_session_windows",
-    "a2_first3_sample",
     "dedup_exact",
     "dedup_cluster_components",
     "dedup_survivors",
     # ---- slot 51+ (green in r3, untouched this round) ----
+    "a2_first3_sample",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_incremental",
@@ -1018,6 +1019,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return il.image_caption_pairs(
             _mid_image_span_docs(_tbl(spark, sf, "documents")))
     q["interleave_caption_pairs"] = caption_pairs
+
+    def il_boilerplate(spark, sf):
+        """OBELICS-style image-boilerplate strip: image refs recurring
+        in > IMAGE_BOILERPLATE_DOC_FREQ distinct docs (one planted
+        'banner' ref carried by every doc_id % 9 == 0 doc) are removed
+        in-row after a broadcast of the frequent set; unique refs
+        survive. Output: per-doc kept-image count + kept refs."""
+        base = _mid_image_span_docs(_tbl(spark, sf, "documents"))
+        banner = base.withColumn("spans", F.expr("""
+            transform(spans, s -> named_struct(
+              'kind', s.kind, 'text', s.text,
+              'media_ref', CASE WHEN s.kind = 'image'
+                                AND cast(doc_id AS bigint) % 9 = 0
+                           THEN 'img://banner' ELSE s.media_ref END,
+              'offset', s.offset))
+        """))
+        stripped = il.strip_boilerplate_images(banner)
+        return stripped.select(
+            "doc_id",
+            F.size(F.filter("spans", lambda s: s["kind"] == "image"))
+            .cast("long").alias("n_kept_images"),
+            F.concat_ws(",", F.expr(
+                "transform(filter(spans, s -> s.kind = 'image'), "
+                "s -> s.media_ref)")).alias("kept_refs"))
+    q["interleave_image_boilerplate"] = il_boilerplate
 
     def j1_ocr(spark, sf):
         """J1 proper: the OCR insert-after operator on a derived span
@@ -2426,6 +2452,26 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END
                        ELSE 1 END)::bigint AS keep
           FROM agg
+        """,
+        "interleave_image_boilerplate": f"""
+          WITH img AS (SELECT doc_id,
+                              CASE WHEN doc_id % 9 = 0
+                                   THEN 'img://banner'
+                                   ELSE 'img://' || doc_id::varchar
+                              END AS ref
+                       FROM documents WHERE doc_id % 3 = 0),
+          freq AS (SELECT ref, count(*)::bigint AS df
+                   FROM img GROUP BY ref)
+          SELECT d.doc_id::varchar AS doc_id,
+                 (CASE WHEN i.ref IS NULL THEN 0
+                       WHEN f.df > {il.IMAGE_BOILERPLATE_DOC_FREQ} THEN 0
+                       ELSE 1 END)::bigint AS n_kept_images,
+                 (CASE WHEN i.ref IS NULL THEN ''
+                       WHEN f.df > {il.IMAGE_BOILERPLATE_DOC_FREQ} THEN ''
+                       ELSE i.ref END) AS kept_refs
+          FROM documents d
+          LEFT JOIN img i ON d.doc_id = i.doc_id
+          LEFT JOIN freq f ON i.ref = f.ref
         """,
         "interleave_caption_pairs": f"""
           WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr

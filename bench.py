@@ -124,6 +124,16 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "cold_total": round(sum(cold.values()), 3),
+        "cold": cold,
+        # the cold pass is by definition a single sequential first
+        # touch of each query (a cold number cannot be re-sampled), so
+        # unlike the interleaved warm medians one episodic CPU-steal
+        # burst can poison several ADJACENT cold numbers — the r2
+        # misreading started exactly there. Compare min_total /
+        # per-query warm medians across rounds; treat cold as
+        # informational (r3 VERDICT #7).
+        "cold_protocol": ("single_sequential_first_touch; "
+                          "steal-burst-sensitive, informational only"),
         # sum of per-query minima: the contention-free lower bound on a
         # host with episodic CPU steal (two identical bench runs have
         # measured 14.3s vs 26.4s medians minutes apart)

@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="salt fan-out for the reassembly shuffle")
     p.add_argument("--image-mode", default="placeholder",
                    choices=("placeholder", "referenced"))
+    p.add_argument("--media", default=None,
+                   help="parquet dir of media binaries (doc_id, media_ref,"
+                        " content) — with --artifacts-dir, REFERENCED "
+                        "mode writes the actual artifact files")
+    p.add_argument("--artifacts-dir", default=None,
+                   help="shared dir to materialize REFERENCED-mode "
+                        "artifacts into (one file per image span)")
     p.add_argument("--shuffle-partitions", type=int, default=256,
                    help="sized by data volume, NOT core count; AQE "
                         "coalesces down")
@@ -80,17 +87,29 @@ def main(argv: list[str] | None = None) -> int:
     done = lin.run_with_lineage(
         spark, result, args.output, n_partitions=args.partitions,
         input_files=[args.input])
-    n_artifacts = None
+    n_artifacts = n_written = None
     if args.image_mode == "referenced":
         # artifacts-dir analogue: write the media manifest beside the
         # markdown output (sibling dir — the lineage glob owns --output)
         from document_parser_spark.operators.serialize import (
             artifacts_manifest,
+            materialize_artifacts,
         )
         manifest = artifacts_manifest(lin.read_output(spark, args.output))
         mpath = args.output.rstrip("/") + "_artifacts"
         manifest.write.mode("overwrite").parquet(mpath)
         n_artifacts = spark.read.parquet(mpath).count()
+        if args.media and args.artifacts_dir:
+            # the file half: executors write one binary per image span
+            # into the artifacts dir, statuses committed beside the
+            # manifest so a missing binary is a row, not an exception
+            status = materialize_artifacts(
+                spark.read.parquet(mpath), spark.read.parquet(args.media),
+                args.artifacts_dir)
+            spath = mpath + "_status"
+            status.write.mode("overwrite").parquet(spath)
+            st = spark.read.parquet(spath)
+            n_written = st.filter(st.status == "written").count()
     wall = time.time() - t0
 
     n_docs = lin.read_output(spark, args.output).count()
@@ -104,6 +123,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if n_artifacts is not None:
         summary["artifacts"] = n_artifacts
+    if n_written is not None:
+        summary["artifacts_written"] = n_written
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -9,12 +9,16 @@ round-2 fix). The relation must therefore outlive the function — but a
 long session that runs many dedup queries must not stack one persisted
 relation per call (r2 ADVICE #4, r3 VERDICT #3).
 
-Contract: each top-level operator call **releases the caches of prior
-calls on entry** (then tracks its own), so a session holds at most one
-operator's working set and a loop over corpora is self-cleaning. The
-caller-visible rule is the natural one: *materialize an operator's
-result before invoking the next cached operator* — releasing a cache
-under a still-lazy result is safe (Spark recomputes the lineage), just
+Contract: ``track_persist`` first checks Spark's CacheManager for the
+relation's canonical plan — a re-invocation of the SAME operator on
+the same input (the bench's warm rounds, a retried query) reuses the
+live cache with zero extra work. Only when the plan is NEW does it
+**release the caches of prior calls** and then persist + materialize
+its own, so a session holds at most one operator's working set and a
+loop over corpora is self-cleaning. The caller-visible rule is the
+natural one: *materialize an operator's result before invoking the
+next cached operator on a different input* — releasing a cache under
+a still-lazy result is safe (Spark recomputes the lineage), just
 slower. In-repo callers (driver queries, bench, curation) all collect
 or write each result before the next call. ``release_session_caches``
 is also exposed directly for tests / session teardown.
@@ -27,9 +31,24 @@ from pyspark.sql import DataFrame
 _LIVE: list[DataFrame] = []
 
 
+def _already_cached(df: DataFrame) -> bool:
+    """True when the CacheManager already holds df's canonical plan
+    (persist() would reuse that entry, so releasing prior caches would
+    free the very relation we are about to read)."""
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        return cm.lookupCachedData(df._jdf).isDefined()
+    except Exception:
+        return False
+
+
 def track_persist(df: DataFrame) -> DataFrame:
     """Persist + eagerly materialize ``df`` and register it for
-    release by the next top-level cached-operator call."""
+    release by the next top-level cached-operator call on a NEW plan;
+    a same-plan re-invocation reuses the live cache untouched."""
+    if _already_cached(df):
+        return df.persist()   # CacheManager reuse — warm path
+    release_session_caches()
     df = df.persist()
     df.count()
     _LIVE.append(df)

@@ -62,8 +62,6 @@ def fuzzy_contamination(corpus: DataFrame, benchmark: DataFrame,
     kernel verbatim (same 60-bit shingle hash, same affine maps, same
     band digest), so the SQL oracle replicates it literally.
     """
-    if reuse_shingles:
-        cachereg.release_session_caches()
     c_sh = hashed_shingles(shingles(corpus, n))
     if reuse_shingles:
         # eager materialization — see ngram_jaccard_pairs for why a

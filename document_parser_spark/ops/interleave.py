@@ -34,6 +34,11 @@ MIN_CHARS_PER_IMAGE = 2000
 MIN_CAPTION_CHARS = 20
 MAX_CAPTION_GAP = 3
 
+# image-boilerplate default (OBELICS/MMC4 image dedup: an image that
+# recurs across many documents is a logo, banner, or tracking pixel,
+# not content — both pipelines drop repeated images by URL/hash).
+IMAGE_BOILERPLATE_DOC_FREQ = 5
+
 
 def interleave_stats(
     span_docs: DataFrame,
@@ -82,6 +87,60 @@ def interleave_stats(
            >= F.lit(min_chars_per_image).cast("long") * F.col("n_images"))
     )
     return out.withColumn("keep", keep.cast("long"))
+
+
+def image_doc_frequency(span_docs: DataFrame) -> DataFrame:
+    """-> (media_ref, doc_freq): the number of DISTINCT documents each
+    image appears in. Per-doc dedup happens IN-ROW (``array_distinct``
+    over the ref list) before the explode, so the one groupBy shuffle
+    carries exactly one row per (doc, ref) — never a per-occurrence
+    fan-out, and within-doc repeats (galleries) count once."""
+    refs = F.array_distinct(F.expr(
+        "transform(filter(spans, s -> s.kind = 'image' "
+        "AND s.media_ref IS NOT NULL AND s.media_ref <> ''), "
+        "s -> s.media_ref)"))
+    return (span_docs.select(F.explode(refs).alias("media_ref"))
+            .groupBy("media_ref")
+            .agg(F.count("*").cast("long").alias("doc_freq")))
+
+
+def boilerplate_images(
+    span_docs: DataFrame,
+    max_doc_freq: int = IMAGE_BOILERPLATE_DOC_FREQ,
+) -> DataFrame:
+    """The recurring-image set: refs in more than ``max_doc_freq``
+    distinct documents (logos / banners / tracking pixels)."""
+    return (image_doc_frequency(span_docs)
+            .filter(F.col("doc_freq") > max_doc_freq))
+
+
+def strip_boilerplate_images(
+    span_docs: DataFrame,
+    max_doc_freq: int = IMAGE_BOILERPLATE_DOC_FREQ,
+) -> DataFrame:
+    """OBELICS-style image dedup: remove image spans whose ``media_ref``
+    recurs in more than ``max_doc_freq`` distinct documents, keeping
+    every other span (and original offsets — array position stays the
+    reading-order carrier downstream).
+
+    Scale shape: the boilerplate set is folded into ONE array row and
+    broadcast-cross-joined, so the strip itself is a pure in-row array
+    filter — the corpus never shuffles on a doc key. The set is small
+    by construction at any realistic threshold (it is the frequent
+    TAIL of the ref distribution); if a pathological corpus overflowed
+    the broadcast, the swap is an exploded media_ref-keyed left-anti
+    join + doc-keyed rebuild — same contract, two exchanges.
+    NULL-safe per this repo's span discipline: a NULL media_ref can
+    never match the boilerplate set (coalesce pins the predicate)."""
+    bad = (boilerplate_images(span_docs, max_doc_freq)
+           .agg(F.collect_list("media_ref").alias("_bad")))
+    out = span_docs.crossJoin(F.broadcast(bad))
+    keep = lambda s: ~F.coalesce(  # noqa: E731
+        (s["kind"] == "image")
+        & F.array_contains(F.col("_bad"), s["media_ref"]),
+        F.lit(False))
+    return (out.withColumn("spans", F.filter("spans", keep))
+            .drop("_bad"))
 
 
 def image_caption_pairs(

@@ -20,7 +20,8 @@ _NEVER_VERIFIED = {
     "extract_html_roundtrip", "extract_html_rich_roundtrip",
     "extract_referenced_images", "pdf_vlm_roundtrip",
     "j1_ocr_insert_after", "interleave_media_gate",
-    "interleave_caption_pairs", "agg_lineitem_pricing",
+    "interleave_caption_pairs", "interleave_image_boilerplate",
+    "agg_lineitem_pricing",
     "join_revenue_by_nation", "events_asof_join", "events_rollup",
     "events_json_props", "emb_covariance", "emb_quantize_int8",
     "text_entropy_stats", "text_dup_ngrams", "text_winnow_fingerprints",

@@ -88,20 +88,28 @@ def test_shingle_cache_released_by_clearcache(spark, docs):
 
 def test_shingle_caches_do_not_stack_across_calls(spark, docs):
     """r3 VERDICT #3: a session looping over dedup operators must NOT
-    accumulate one persisted shingle relation per call. Each top-level
-    cached operator releases the prior call's caches on entry, and an
-    explicit release leaves the catalog empty."""
+    accumulate one persisted shingle relation per call. A NEW plan
+    releases the prior call's caches before tracking its own; a
+    SAME-plan re-invocation (warm bench rounds) reuses the live cache;
+    an explicit release leaves the catalog empty."""
     from document_parser_spark.ops import cachereg
 
     sc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
+    cachereg.release_session_caches()
     # simulate the driver/bench loop: materialize, then next operator
     dd.ngram_jaccard_pairs(docs).count()
     first_live = cachereg.live_count()
+    first_rdds = sc.getPersistentRDDs().size()
     assert first_live >= 1
+    # warm path: the identical call reuses the cache — nothing new
+    # persisted, nothing released
+    dd.ngram_jaccard_pairs(docs).count()
+    assert cachereg.live_count() == first_live
+    assert sc.getPersistentRDDs().size() == first_rdds
+    # new plan: minhash frees the ngram relation before tracking its
+    # own — live count is bounded by ONE call's working set
     dd.minhash_lsh_pairs(docs).count()
-    # the minhash call freed the ngram call's relation before tracking
-    # its own — live count is bounded by ONE call's working set
     assert cachereg.live_count() <= first_live
     dd.ngram_jaccard_pairs(docs).count()
     assert cachereg.live_count() <= first_live

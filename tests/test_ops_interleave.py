@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 from document_parser_spark.ops.interleave import (
     image_caption_pairs,
+    image_doc_frequency,
     interleave_stats,
+    strip_boilerplate_images,
 )
 
 SPAN_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
@@ -110,6 +112,43 @@ def test_stats_gate(sdf):
     # chars-per-image rule alone: 1 image but only 10*4=40... farm has
     # 10 chars, 3 images -> needs 75
     assert st["farm"].text_chars == 10
+
+
+def test_image_doc_frequency_distinct_per_doc(spark):
+    """Within-doc repeats (galleries) count once; doc_freq is the
+    number of distinct documents carrying the ref."""
+    rows = [
+        ("g1", [("image", "", "logo", 0), ("image", "", "logo", 1),
+                ("image", "", "unique1", 2)]),
+        ("g2", [("image", "", "logo", 0), ("text", "body text", "", 1)]),
+        ("g3", [("image", "", None, 0), ("image", "", "", 1)]),  # ignored
+    ]
+    sdf = spark.createDataFrame(rows, SPAN_SCHEMA)
+    freq = {r.media_ref: r.doc_freq
+            for r in image_doc_frequency(sdf).collect()}
+    assert freq == {"logo": 2, "unique1": 1}
+
+
+def test_strip_boilerplate_images(spark):
+    """Refs above the doc-frequency cap are removed in-row; unique
+    refs, text spans, and offsets survive untouched; NULL media_ref
+    never matches the boilerplate set."""
+    rows = ([(f"d{i}", [("image", "", "banner", 0),
+                        ("text", "content %d" % i, "", 1)])
+             for i in range(4)]
+            + [("solo", [("image", "", "rare", 0),
+                         ("image", "", None, 1),
+                         ("text", "kept text", "", 2)])])
+    sdf = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = {r.doc_id: r.spans
+           for r in strip_boilerplate_images(sdf, max_doc_freq=2)
+           .collect()}
+    # banner appears in 4 docs > 2 -> stripped everywhere
+    for i in range(4):
+        assert [(s.kind, s.offset) for s in out[f"d{i}"]] == [("text", 1)]
+    # rare ref (freq 1) + NULL-ref image + text all survive
+    assert [(s.kind, s.media_ref) for s in out["solo"]] == [
+        ("image", "rare"), ("image", None), ("text", "")]
 
 
 def test_stats_null_spans_explicit_drop(spark):
