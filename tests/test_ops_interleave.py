@@ -165,6 +165,19 @@ def test_stats_null_spans_explicit_drop(spark):
     assert st["ok"].keep == 1
 
 
+def test_strip_boilerplate_no_doc_keyed_shuffle(spark, sdf):
+    """The strip's only exchanges belong to the bounded frequency
+    aggregation (media_ref-keyed groupBy + the 1-row fold); the corpus
+    relation itself is never shuffled on a doc key — the frequent set
+    arrives by broadcast and the filter is in-row."""
+    plan = strip_boilerplate_images(sdf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_stats_no_shuffle(spark, sdf):
     plan = interleave_stats(sdf)._jdf.queryExecution() \
         .executedPlan().toString()
