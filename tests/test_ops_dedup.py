@@ -88,10 +88,10 @@ def test_shingle_cache_released_by_clearcache(spark, docs):
 
 def test_shingle_caches_do_not_stack_across_calls(spark, docs):
     """r3 VERDICT #3: a session looping over dedup operators must NOT
-    accumulate one persisted shingle relation per call. A NEW plan
-    releases the prior call's caches before tracking its own; a
-    SAME-plan re-invocation (warm bench rounds) reuses the live cache;
-    an explicit release leaves the catalog empty."""
+    accumulate one persisted shingle relation per call. The pool is
+    LRU-bounded at MAX_LIVE; a SAME-plan re-invocation (warm bench
+    rounds) reuses the live cache without growing the pool; an
+    explicit release leaves the catalog empty."""
     from document_parser_spark.ops import cachereg
 
     sc = spark.sparkContext._jsc.sc()
@@ -103,16 +103,19 @@ def test_shingle_caches_do_not_stack_across_calls(spark, docs):
     first_rdds = sc.getPersistentRDDs().size()
     assert first_live >= 1
     # warm path: the identical call reuses the cache — nothing new
-    # persisted, nothing released
+    # persisted, nothing evicted (the thrash the one-slot policy had)
     dd.ngram_jaccard_pairs(docs).count()
     assert cachereg.live_count() == first_live
     assert sc.getPersistentRDDs().size() == first_rdds
-    # new plan: minhash frees the ngram relation before tracking its
-    # own — live count is bounded by ONE call's working set
-    dd.minhash_lsh_pairs(docs).count()
-    assert cachereg.live_count() <= first_live
-    dd.ngram_jaccard_pairs(docs).count()
-    assert cachereg.live_count() <= first_live
+    # alternating operators and re-runs never exceed the pool cap
+    for _ in range(2):
+        dd.minhash_lsh_pairs(docs).count()
+        dd.ngram_jaccard_pairs(docs).count()
+    assert cachereg.live_count() <= cachereg.MAX_LIVE
+    # distinct corpora evict oldest-first instead of stacking
+    for lo in range(0, 4):
+        dd.ngram_jaccard_pairs(docs.filter(f"doc_id > {lo}")).count()
+    assert cachereg.live_count() <= cachereg.MAX_LIVE
     # explicit release: nothing persisted remains anywhere
     cachereg.release_session_caches()
     assert cachereg.live_count() == 0
