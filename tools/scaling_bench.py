@@ -39,11 +39,16 @@ def _session(master: str, cores: int):
     # collect_list state per reducer grows with 1/cores and the small
     # run spills/GC-thrashes — the measured "super-linear scaling" that
     # results is an artifact, not a property of the job.
+    #
+    # Heap scales with the leg's core count (1.5g/core, the N-vs-4N
+    # executor fiction: 4N executors bring 4x the memory); capped at
+    # 24g so the 32-leg stays inside the host.
+    heap_g = min(24, max(4, int(cores * 1.5)))
     return (
         SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", "256")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", f"{heap_g}g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -121,8 +126,21 @@ def all_protocol(n_docs: int) -> None:
                    env=env)
     masters = ("local[4]", "local[16]", "local[8]", "local[32]")
     for master in masters:
+        cores = int(master.split("[")[1].rstrip("]"))
+        # CONFINE the whole process tree (JVM task threads, GC/JIT
+        # threads, forked Python UDF workers) to exactly N cpus.
+        # Without the affinity mask an "N-core" leg is a fiction: the
+        # 4-thread JVM's GC (sized for all 32 host cpus), compiler
+        # threads and pyspark.daemon children spill onto the 28 idle
+        # cores, inflating the small leg's throughput and
+        # under-measuring scaling efficiency. taskset makes each leg a
+        # true N-core machine — the same resource envelope an
+        # N-executor cluster run would have (JDK>=10 sizes thread
+        # pools from sched_getaffinity, so GC threads follow the mask
+        # automatically).
         subprocess.run(
-            [sys.executable, me, "run", master, INPUT_DIR,
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, me, "run", master, INPUT_DIR,
              f"/tmp/scaling_out_{master.replace('[', '_').rstrip(']')}"],
             check=True, env=env)
     r = {}
@@ -142,15 +160,23 @@ full extraction pipeline -> write parquet), same pre-materialized
 input ({r[4]['n_docs']} synthetic interleaved docs, seed=42, 128
 splittable files), warm-up pass then median of 3 timed runs per level.
 
+Each leg runs under ``taskset -c 0-(N-1)`` with heap = 1.5g x N
+(cap 24g), so an "N-core" run is a true N-cpu machine: task threads,
+GC/JIT threads and forked Python UDF workers all share exactly N cpus
+and proportional memory — the same resource envelope N fixed-size
+executors would have. (Without the mask the small leg's GC and Python
+workers spill onto the idle cores and its throughput is inflated,
+under-measuring scaling.)
+
 {primary}
 {secondary}
 Command lines:
 
     python tools/scaling_bench.py prepare {r[4]['n_docs']}
-    python tools/scaling_bench.py run "local[4]"  {INPUT_DIR} /tmp/scaling_out_local_4
-    python tools/scaling_bench.py run "local[16]" {INPUT_DIR} /tmp/scaling_out_local_16
-    python tools/scaling_bench.py run "local[8]"  {INPUT_DIR} /tmp/scaling_out_local_8
-    python tools/scaling_bench.py run "local[32]" {INPUT_DIR} /tmp/scaling_out_local_32
+    taskset -c 0-3  python tools/scaling_bench.py run "local[4]"  {INPUT_DIR} /tmp/scaling_out_local_4
+    taskset -c 0-15 python tools/scaling_bench.py run "local[16]" {INPUT_DIR} /tmp/scaling_out_local_16
+    taskset -c 0-7  python tools/scaling_bench.py run "local[8]"  {INPUT_DIR} /tmp/scaling_out_local_8
+    taskset -c 0-31 python tools/scaling_bench.py run "local[32]" {INPUT_DIR} /tmp/scaling_out_local_32
 """
     os.makedirs("BENCH", exist_ok=True)
     # preserve manually-appended sections (skew benches, protocol
