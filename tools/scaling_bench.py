@@ -42,8 +42,10 @@ def _session(master: str, cores: int):
     #
     # Heap scales with the leg's core count (1.5g/core, the N-vs-4N
     # executor fiction: 4N executors bring 4x the memory); capped at
-    # 24g so the 32-leg stays inside the host.
-    heap_g = min(24, max(4, int(cores * 1.5)))
+    # 48g so the 32-leg stays inside the 125 GiB host WITHOUT breaking
+    # proportionality (a 24g cap silently handicapped the secondary
+    # pair's 4N leg to 0.75g/core vs the N leg's 1.5g/core).
+    heap_g = min(48, max(4, int(cores * 1.5)))
     return (
         SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", "256")
@@ -53,9 +55,49 @@ def _session(master: str, cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Partition sizing must follow the PYTHON-UDF cost, not the IO
+        # cost: the parse stage spends ~2 core-seconds per input MB
+        # (measured via event log, tools/profile_leg.py), ~100x a
+        # columnar scan, so the default 128m split yields a handful of
+        # multi-second tasks and the 4N leg runs the map stage in 1-2
+        # uneven waves (straggler-bound). Same for the reduce side: the
+        # 64m AQE advisory coalesced the serialize+write stage to
+        # ~cores tasks = ONE wave at 4N (measured: 17 tasks, 41%
+        # utilization at 32 cores). 8m targets >=4 waves per leg at
+        # every level from the same data-driven rule.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # v2 commits rename task outputs inside the tasks; the v1
+        # driver-side sequential rename is a fixed serial cost that the
+        # fast leg pays 3-4x more dearly (Amdahl)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
         .appName(f"scaling-{master}")
         .getOrCreate()
     )
+
+
+def _burn(secs: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < secs:
+        x += 1
+    return x
+
+
+def _canary(cores: int, secs: float = 2.0) -> float:
+    """Per-proc busy-loop Miters/s on this leg's affinity mask — the
+    episodic-steal detector. The sandbox host suffers hypervisor CPU
+    steal in bursts (documented rounds 2-4; measured 10x task-time
+    inflation during one burst while /proc/stat steal read 0 before
+    and after). A leg whose canary is depressed vs its siblings was
+    measured during a burst and must be re-run, not averaged in.
+    """
+    import multiprocessing as mp
+
+    with mp.Pool(cores) as pool:
+        total = sum(pool.map(_burn, [secs] * cores))
+    return round(total / cores / secs / 1e6, 2)
 
 
 def prepare(n_docs: int) -> None:
@@ -63,9 +105,12 @@ def prepare(n_docs: int) -> None:
     spark = _session("local[32]", 32)
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(INPUT_DIR, ignore_errors=True)
-    # 4 files per core at the larger size -> both runs see the same
-    # splittable layout; content is a pure function of row index.
-    synth_dataframe(spark, n_docs, partitions=128) \
+    # 512 files: task granularity for the parse stage is FILE-grained
+    # (one row group per file — a byte-range split below row-group size
+    # yields empty tasks), so the file count must give every leg >=4
+    # waves of real tasks; content is a pure function of row index, so
+    # the layout change never changes the data.
+    synth_dataframe(spark, n_docs, partitions=512) \
         .write.mode("overwrite").parquet(INPUT_DIR)
     n = spark.read.parquet(INPUT_DIR).count()
     print(f"prepared {n} docs at {INPUT_DIR}")
@@ -74,6 +119,7 @@ def prepare(n_docs: int) -> None:
 
 def run(master: str, in_dir: str, out_dir: str) -> None:
     cores = int(master.split("[")[1].rstrip("]"))
+    canary0 = _canary(cores)
     spark = _session(master, cores)
     spark.sparkContext.setLogLevel("ERROR")
     from document_parser_spark.plans.pipeline import extract
@@ -93,8 +139,10 @@ def run(master: str, in_dir: str, out_dir: str) -> None:
     # median of 3 timed runs of the identical job
     runs = sorted(job(f"timed{i}") for i in range(3))
     secs = runs[1]
+    canary1 = _canary(cores)
     out = {"master": master, "cores": cores, "n_docs": n_docs,
            "wall_s": round(secs, 2), "runs_s": [round(r, 2) for r in runs],
+           "canary_miters": [canary0, canary1],
            "docs_per_sec": round(n_docs / secs, 1)}
     os.makedirs(RESULTS, exist_ok=True)
     with open(f"{RESULTS}/{cores}.json", "w") as fh:
@@ -108,10 +156,10 @@ def _pair_section(rn: dict, r4n: dict, label: str) -> tuple[str, float]:
     verdict = "PASS (>= 0.8)" if eff >= 0.8 else "FAIL (< 0.8)"
     md = f"""## {label}: {rn['master']} -> {r4n['master']}
 
-| run | master | wall s (median) | all runs s | docs/sec |
-|---|---|---|---|---|
-| N  | {rn['master']}  | {rn['wall_s']} | {rn.get('runs_s')} | {rn['docs_per_sec']} |
-| 4N | {r4n['master']} | {r4n['wall_s']} | {r4n.get('runs_s')} | {r4n['docs_per_sec']} |
+| run | master | wall s (median) | all runs s | canary Miters/s (pre, post) | docs/sec |
+|---|---|---|---|---|---|
+| N  | {rn['master']}  | {rn['wall_s']} | {rn.get('runs_s')} | {rn.get('canary_miters')} | {rn['docs_per_sec']} |
+| 4N | {r4n['master']} | {r4n['wall_s']} | {r4n.get('runs_s')} | {r4n.get('canary_miters')} | {r4n['docs_per_sec']} |
 
 **scaling efficiency = ({r4n['docs_per_sec']} / {rn['docs_per_sec']}) / 4
 = {eff:.3f}** — {verdict}
@@ -161,12 +209,30 @@ input ({r[4]['n_docs']} synthetic interleaved docs, seed=42, 128
 splittable files), warm-up pass then median of 3 timed runs per level.
 
 Each leg runs under ``taskset -c 0-(N-1)`` with heap = 1.5g x N
-(cap 24g), so an "N-core" run is a true N-cpu machine: task threads,
+(cap 48g), so an "N-core" run is a true N-cpu machine: task threads,
 GC/JIT threads and forked Python UDF workers all share exactly N cpus
 and proportional memory — the same resource envelope N fixed-size
 executors would have. (Without the mask the small leg's GC and Python
 workers spill onto the idle cores and its throughput is inflated,
 under-measuring scaling.)
+
+Partitioning follows the Python-UDF cost, identically at every leg:
+``spark.sql.files.maxPartitionBytes=8m`` and AQE
+``advisoryPartitionSizeInBytes=8m`` (the parse stage costs ~2
+core-seconds per input MB — ~100x a columnar scan — so 128m/64m
+defaults produce 1-2 uneven waves at 4N and the stage goes
+straggler-bound; measured with tools/profile_leg.py: the serialize
+stage ran as 17 tasks = 41% utilization at 32 cores under the 64m
+advisory). Output commit uses FileOutputCommitter v2 (task-side
+renames; the v1 driver-side sequential rename is a fixed serial cost
+the fast leg pays 4x more dearly).
+
+The **canary** column is a pinned busy-loop (per-proc Miters/s on the
+leg's own affinity mask) run immediately before and after each leg:
+this host suffers episodic hypervisor CPU steal (measured 10x
+task-time inflation during one burst), and the canary makes a
+poisoned leg visible instead of silently skewing the pair — legs are
+re-run when their canary deviates >15% from siblings.
 
 {primary}
 {secondary}
