@@ -48,8 +48,32 @@ def parse_sf(path: str) -> float:
     return float(base[2:]) if base.startswith("sf") else -1.0
 
 
+def _burn(secs: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < secs:
+        x += 1
+    return x
+
+
+def canary(procs: int = 8, secs: float = 1.5) -> float:
+    """Per-proc busy-loop Miters/s — the episodic-CPU-steal detector
+    (same probe as tools/scaling_bench.py). Quiet-host baseline on this
+    box is ~19-21; a reading far below means the surrounding numbers
+    were measured during a hypervisor steal burst (measured up to 10x
+    task-time inflation) and should be compared via min_total, not the
+    medians."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        total = sum(pool.map(_burn, [secs] * procs))
+    return round(total / procs / secs / 1e6, 2)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
+
+    canary_pre = canary()
 
     spark = (
         SparkSession.builder.master(MASTER)
@@ -145,6 +169,8 @@ def main() -> None:
         "cpus": CPUS,
     }
     spark.stop()
+    # steal-burst disclosure: quiet-host baseline ~19-21 Miters/s
+    out["canary_miters"] = [canary_pre, canary()]
     print(json.dumps(out))
 
 
