@@ -154,6 +154,23 @@ def run(master: str, in_dir: str, out_dir: str) -> None:
 def _pair_section(rn: dict, r4n: dict, label: str) -> tuple[str, float]:
     eff = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4
     verdict = "PASS (>= 0.8)" if eff >= 0.8 else "FAIL (< 0.8)"
+    # canary-implied hardware ceiling for this pair: what the same
+    # pinned busy loop (pure compute, zero coordination) scaled N->4N
+    # on the same masks in the same time window. Under hypervisor
+    # steal the host itself stops scaling (measured: 8->32 busy-loop
+    # ratio 3.2 during a burst vs 3.86 quiet) — the ceiling separates
+    # "the job stopped scaling" from "the machine stopped scaling".
+    ceiling_line = ""
+    cn, c4n = rn.get("canary_miters"), r4n.get("canary_miters")
+    if cn and c4n:
+        ratio = ((sum(c4n) / len(c4n)) * r4n["cores"]) / (
+            (sum(cn) / len(cn)) * rn["cores"])
+        ceiling = ratio / 4
+        ceiling_line = (
+            f"\ncanary-implied hardware ceiling for this window: "
+            f"{ceiling:.3f} (busy-loop {rn['cores']}->{r4n['cores']} "
+            f"scaled {ratio:.2f}x); job-level efficiency = "
+            f"{eff:.3f}/{ceiling:.3f} = {eff / ceiling:.3f}\n")
     md = f"""## {label}: {rn['master']} -> {r4n['master']}
 
 | run | master | wall s (median) | all runs s | canary Miters/s (pre, post) | docs/sec |
@@ -163,7 +180,7 @@ def _pair_section(rn: dict, r4n: dict, label: str) -> tuple[str, float]:
 
 **scaling efficiency = ({r4n['docs_per_sec']} / {rn['docs_per_sec']}) / 4
 = {eff:.3f}** — {verdict}
-"""
+{ceiling_line}"""
     return md, eff
 
 
@@ -191,6 +208,14 @@ def all_protocol(n_docs: int) -> None:
              sys.executable, me, "run", master, INPUT_DIR,
              f"/tmp/scaling_out_{master.replace('[', '_').rstrip(']')}"],
             check=True, env=env)
+    report()
+
+
+def report() -> None:
+    """Aggregate {RESULTS}/*.json into BENCH/BASELINE.md (separated
+    from all_protocol so a single contention-poisoned leg can be
+    re-run with `run` and the report regenerated without repeating
+    the clean legs)."""
     r = {}
     for c in (4, 16, 8, 32):
         with open(f"{RESULTS}/{c}.json") as fh:
@@ -205,8 +230,8 @@ executors). Protocol and the rationale for the N=4 primary pair (the
 UDF workers + GC, measuring host saturation rather than job
 scalability) are in BASELINE.md §3. Identical job (read parquet ->
 full extraction pipeline -> write parquet), same pre-materialized
-input ({r[4]['n_docs']} synthetic interleaved docs, seed=42, 128
-splittable files), warm-up pass then median of 3 timed runs per level.
+input ({r[4]['n_docs']} synthetic interleaved docs, seed=42, 512
+files), warm-up pass then median of 3 timed runs per level.
 
 Each leg runs under ``taskset -c 0-(N-1)`` with heap = 1.5g x N
 (cap 48g), so an "N-core" run is a true N-cpu machine: task threads,
@@ -268,5 +293,7 @@ if __name__ == "__main__":
         run(sys.argv[2], sys.argv[3], sys.argv[4])
     elif cmd == "all":
         all_protocol(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
+    elif cmd == "report":
+        report()
     else:
         raise SystemExit(f"unknown cmd {cmd}")
