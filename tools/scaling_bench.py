@@ -257,7 +257,11 @@ leg's own affinity mask) run immediately before and after each leg:
 this host suffers episodic hypervisor CPU steal (measured 10x
 task-time inflation during one burst), and the canary makes a
 poisoned leg visible instead of silently skewing the pair — legs are
-re-run when their canary deviates >15% from siblings.
+re-run when their canary deviates >15% from siblings. The per-pair
+"hardware ceiling" derived from it is a POINT-SAMPLE estimate (the
+canary runs at leg boundaries, the job runs between them), so
+job-level efficiency above 1.0 simply means a burst straddled a
+canary sample rather than the leg itself.
 
 {primary}
 {secondary}
