@@ -151,6 +151,79 @@ def run(master: str, in_dir: str, out_dir: str) -> None:
     spark.stop()
 
 
+def run_once(master: str, in_dir: str, out_dir: str, tag: str) -> None:
+    """One warmup + ONE timed run, result JSON to
+    {RESULTS}/once_{cores}_{tag}.json — the building block of the
+    paired protocol below."""
+    cores = int(master.split("[")[1].rstrip("]"))
+    canary0 = _canary(cores)
+    spark = _session(master, cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    from document_parser_spark.plans.pipeline import extract
+
+    n_docs = spark.read.parquet(in_dir).count()
+
+    def job(t: str) -> float:
+        shutil.rmtree(f"{out_dir}/{t}", ignore_errors=True)
+        t0 = time.time()
+        extract(spark.read.parquet(in_dir)) \
+            .write.mode("overwrite").parquet(f"{out_dir}/{t}")
+        return time.time() - t0
+
+    job("warmup")
+    secs = job("timed")
+    out = {"master": master, "cores": cores, "n_docs": n_docs,
+           "wall_s": round(secs, 2),
+           "canary_miters": [canary0, _canary(cores)],
+           "docs_per_sec": round(n_docs / secs, 1)}
+    os.makedirs(RESULTS, exist_ok=True)
+    with open(f"{RESULTS}/once_{cores}_{tag}.json", "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def pair_protocol(n_small: int, n_big: int, rounds: int = 3) -> None:
+    """PAIRED-SAMPLES variant for a host with episodic CPU steal: the
+    two legs alternate in adjacent time windows (small, big, small,
+    big, ...), each visit = fresh pinned session + warmup + one timed
+    run, and the efficiency is the MEDIAN OF PER-DUO RATIOS. Running
+    each leg's runs consecutively (the default protocol) lets a steal
+    burst land entirely inside one leg's block and bias the pair —
+    measured four times in round 4, always against the wide-mask leg.
+    Pairing samples both legs under ~the same host state; a burst
+    then degrades BOTH sides of its duo and the ratio survives.
+    """
+    me = os.path.abspath(__file__)
+    env = dict(os.environ)
+    duos = []
+    for r in range(rounds):
+        legs = {}
+        for cores in (n_small, n_big):
+            subprocess.run(
+                ["taskset", "-c", f"0-{cores - 1}", sys.executable, me,
+                 "run_once", f"local[{cores}]", INPUT_DIR,
+                 f"/tmp/scaling_out_pair_{cores}", f"duo{r}"],
+                check=True, env=env)
+            with open(f"{RESULTS}/once_{cores}_duo{r}.json") as fh:
+                legs[cores] = json.load(fh)
+        eff = (legs[n_big]["docs_per_sec"]
+               / legs[n_small]["docs_per_sec"]) / (n_big / n_small)
+        duos.append({"round": r, "eff": round(eff, 3),
+                     "small": legs[n_small], "big": legs[n_big]})
+        print(f"duo {r}: eff={eff:.3f}")
+    effs = sorted(d["eff"] for d in duos)
+    med = effs[len(effs) // 2]
+    summary = {"pair": f"{n_small}->{n_big}", "rounds": rounds,
+               "duo_effs": effs, "median_eff": med,
+               "protocol": "paired_interleaved_duos",
+               "duos": duos}
+    with open(f"{RESULTS}/pair_{n_small}_{n_big}.json", "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps({k: summary[k] for k in
+                      ("pair", "duo_effs", "median_eff")}))
+
+
 def _pair_section(rn: dict, r4n: dict, label: str) -> tuple[str, float]:
     eff = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4
     verdict = "PASS (>= 0.8)" if eff >= 0.8 else "FAIL (< 0.8)"
@@ -299,5 +372,10 @@ if __name__ == "__main__":
         all_protocol(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
     elif cmd == "report":
         report()
+    elif cmd == "run_once":
+        run_once(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
+    elif cmd == "pair":
+        pair_protocol(int(sys.argv[2]), int(sys.argv[3]),
+                      int(sys.argv[4]) if len(sys.argv) > 4 else 3)
     else:
         raise SystemExit(f"unknown cmd {cmd}")
