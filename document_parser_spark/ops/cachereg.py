@@ -54,9 +54,18 @@ def _already_cached(df: DataFrame) -> bool:
         return False
 
 
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """Canonical-plan equality — the key Spark's CacheManager (and
+    therefore ``unpersist``) operates on."""
+    try:
+        return a.sameSemantics(b)
+    except Exception:
+        return False
+
+
 def _evict_over_cap() -> None:
     while len(_LIVE) > MAX_LIVE:
-        df = _LIVE.pop(0)     # oldest first
+        df = _LIVE.pop(0)     # least recently used first
         try:
             df.unpersist()
         except Exception:
@@ -67,7 +76,22 @@ def track_persist(df: DataFrame) -> DataFrame:
     """Persist + eagerly materialize ``df`` in the bounded pool; a
     same-plan re-invocation reuses the live cache untouched."""
     if _already_cached(df):
-        return df.persist()   # CacheManager reuse — warm path
+        # CacheManager reuse — warm path. LRU refresh: move the pool
+        # entry backing this plan (if tracked) to the newest slot so
+        # the hottest relation is evicted last, not first.
+        for i, live in enumerate(_LIVE):
+            if _same_plan(live, df):
+                _LIVE.append(_LIVE.pop(i))
+                break
+        return df.persist()
+    # Not cached — but the pool may still hold entries for this SAME
+    # canonical plan, orphaned by an external spark.catalog.clearCache()
+    # (the bench does this between queries). Drop them from the pool
+    # WITHOUT unpersisting: their cache is already gone, and because
+    # unpersist() is plan-keyed, evicting such a stale twin later would
+    # silently free the fresh cache built below while consumers still
+    # depend on it.
+    _LIVE[:] = [live for live in _LIVE if not _same_plan(live, df)]
     df = df.persist()
     df.count()
     _LIVE.append(df)
@@ -77,7 +101,9 @@ def track_persist(df: DataFrame) -> DataFrame:
 
 def register(df: DataFrame) -> DataFrame:
     """Register an already-persisted relation for pool-bounded
-    release."""
+    release. At most one pool entry per canonical plan (same
+    stale-twin hazard as ``track_persist``)."""
+    _LIVE[:] = [live for live in _LIVE if not _same_plan(live, df)]
     _LIVE.append(df)
     _evict_over_cap()
     return df

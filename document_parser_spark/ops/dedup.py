@@ -193,12 +193,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     *returned* (lazy) DataFrame, so this function cannot unpersist it
     — instead the persist goes through ``ops.cachereg.track_persist``:
     a same-plan re-invocation (warm bench rounds) reuses the live
-    cache, and a NEW plan first releases the caches tracked by prior
-    calls, so a session holds at most one operator's working set no
-    matter how many dedup queries it runs. Materialize each result
-    before the next operator call on a different input (all in-repo
-    callers do); a release under a still-lazy result merely
-    recomputes."""
+    cache, and NEW plans enter a bounded LRU pool (``MAX_LIVE`` = 4
+    working sets; least-recently-used evicted first), so a session
+    looping over corpora and operators holds a constant cache
+    footprint no matter how many dedup queries it runs. Materialize
+    each result before the next operator call on a different input
+    (all in-repo callers do); an eviction under a still-lazy result
+    merely recomputes."""
     # hash the shingles BEFORE persisting: joins shuffle 8-byte longs
     # (oracle computes the identical hash — compare stays exact)
     sh = hashed_shingles(shingles(docs, n))
@@ -286,6 +287,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
                         .cast("double"), 3).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _jaccard_probe_cached(spark, docs: DataFrame, n: int = SHINGLE_N,
+                          max_df: int | None = NGRAM_MAX_DF) -> bool:
+    """Test probe: is the df-annotated shingle relation that
+    ``ngram_jaccard_pairs(docs, n, max_df)`` persists currently held by
+    the CacheManager? Rebuilds the same canonical plan (never
+    persisting it) and asks for a cache hit — lets pool tests assert
+    which relation an eviction actually freed."""
+    from document_parser_spark.ops.cachereg import _already_cached
+    sh = hashed_shingles(shingles(docs, n))
+    if max_df is not None:
+        df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh = sh.join(df_tbl, "sh")
+    return _already_cached(sh)
 
 
 def ngram_pruned_stats(docs: DataFrame, n: int = SHINGLE_N,

@@ -122,6 +122,62 @@ def test_shingle_caches_do_not_stack_across_calls(spark, docs):
     assert sc.getPersistentRDDs().size() == 0
 
 
+def test_stale_pool_twin_never_evicts_fresh_cache(spark, docs):
+    """An external spark.catalog.clearCache() orphans pool entries
+    without emptying the pool. Re-running the same operator must NOT
+    leave a stale same-plan twin behind: unpersist() is plan-keyed, so
+    evicting the stale twin later would silently free the FRESH cache.
+    The pool therefore holds at most one entry per canonical plan, and
+    filling it to the cap around a re-persisted plan leaves that
+    plan's cache alive."""
+    from document_parser_spark.ops import cachereg
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    cachereg.release_session_caches()
+    dd.ngram_jaccard_pairs(docs).count()
+    assert cachereg.live_count() == 1
+    # external cache wipe (what bench.py does between queries) — the
+    # pool entry is now an orphan
+    spark.catalog.clearCache()
+    # same operator again: must REPLACE the orphan, not sit beside it
+    dd.ngram_jaccard_pairs(docs).count()
+    assert cachereg.live_count() == 1
+    cached_rdds = sc.getPersistentRDDs().size()
+    assert cached_rdds >= 1
+    # fill the pool EXACTLY to the cap with distinct plans: with the
+    # stale twin gone the pool holds cap entries and nothing is
+    # evicted, so the re-persisted relation's cache survives (before
+    # the fix the twin's eviction at cap+1 freed it via the shared
+    # canonical plan while the fresh entry still sat in the pool)
+    for lo in range(cachereg.MAX_LIVE - 1):
+        dd.ngram_jaccard_pairs(docs.filter(f"doc_id > {lo + 1}")).count()
+    assert cachereg.live_count() <= cachereg.MAX_LIVE
+    assert dd._jaccard_probe_cached(spark, docs)
+    spark.catalog.clearCache()
+    cachereg.release_session_caches()
+
+
+def test_pool_is_lru_not_fifo(spark, docs):
+    """A warm same-plan hit refreshes the entry's pool position, so the
+    hottest relation is evicted LAST. Insert A, warm-hit A after
+    inserting B..: once the pool overflows, A must still be live."""
+    from document_parser_spark.ops import cachereg
+
+    spark.catalog.clearCache()
+    cachereg.release_session_caches()
+    dd.ngram_jaccard_pairs(docs).count()          # A enters slot 0
+    # age A with MAX_LIVE - 1 other plans, warm-hitting A in between
+    for lo in range(cachereg.MAX_LIVE - 1):
+        dd.ngram_jaccard_pairs(docs.filter(f"doc_id > {lo + 1}")).count()
+        dd.ngram_jaccard_pairs(docs).count()      # warm hit refreshes A
+    # one more distinct plan overflows the pool; FIFO would evict A
+    dd.ngram_jaccard_pairs(docs.filter("doc_id > 99")).count()
+    assert dd._jaccard_probe_cached(spark, docs)
+    spark.catalog.clearCache()
+    cachereg.release_session_caches()
+
+
 def test_minhash_lsh_subset_of_exact(docs):
     exact = {(r.ida, r.idb) for r in
              dd.ngram_jaccard_pairs(docs, threshold=0.25).collect()}
