@@ -48,26 +48,18 @@ def parse_sf(path: str) -> float:
     return float(base[2:]) if base.startswith("sf") else -1.0
 
 
-def _burn(secs: float) -> int:
-    t0 = time.time()
-    x = 0
-    while time.time() - t0 < secs:
-        x += 1
-    return x
-
-
 def canary(procs: int = 8, secs: float = 1.5) -> float:
-    """Per-proc busy-loop Miters/s — the episodic-CPU-steal detector
-    (same probe as tools/scaling_bench.py). Quiet-host baseline on this
-    box is ~19-21; a reading far below means the surrounding numbers
-    were measured during a hypervisor steal burst (measured up to 10x
-    task-time inflation) and should be compared via min_total, not the
-    medians."""
-    import multiprocessing as mp
+    """Per-proc busy-loop Miters/s — the episodic-CPU-steal detector.
+    The loop body is SHARED with tools/scaling_bench.py
+    (tools/steal_canary.py) so readings stay comparable across tools;
+    bench uses a quick 8-proc x 1.5 s bracket. Quiet-host baseline on
+    this box is ~7 per proc with all cores busy; a reading far below
+    means the surrounding numbers were measured during a hypervisor
+    steal burst (measured up to 10x task-time inflation) and should be
+    compared via min_total, not the medians."""
+    from tools.steal_canary import canary as probe
 
-    with mp.Pool(procs) as pool:
-        total = sum(pool.map(_burn, [secs] * procs))
-    return round(total / procs / secs / 1e6, 2)
+    return probe(procs, secs)
 
 
 def main() -> None:

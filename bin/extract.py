@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
                         "the F1 utf-8 -> detected-codec -> replace chain "
                         "before extraction")
     args = p.parse_args(argv)
+    if bool(args.media) != bool(args.artifacts_dir):
+        # fail fast: with only one of the pair the file half would be
+        # SILENTLY skipped and the REFERENCED markdown's ![](...) links
+        # would dangle — discovered only downstream
+        p.error("--media and --artifacts-dir must be given together "
+                "(file materialization needs both; give neither to "
+                "write only the manifest)")
 
     from pyspark.sql import SparkSession
 

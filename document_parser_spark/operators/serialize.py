@@ -158,8 +158,12 @@ def materialize_artifacts(manifest, media, base_dir: str):
     reference's artifacts-dir layout, but distributed.
 
     -> (doc_id, media_ref, artifact_path, n_bytes, status) with status
-    ``written`` or ``missing`` (manifest row with no media bytes — the
-    A4 posture: never throw, surface the failure as a row).
+    ``written``, ``missing`` (manifest row with no media bytes) or
+    ``unsafe_path`` (the path escapes ``base_dir`` — ``artifact_path``
+    embeds the raw ``doc_id:string``, so a hostile id like ``../../x``
+    or an absolute path would otherwise write outside the artifacts
+    dir; the write is refused and surfaced as a row — the A4 posture:
+    never throw, never silently lose).
 
     Scale notes: ``base_dir`` must be a shared filesystem / object
     store mount (on a cluster each task writes its own partition's
@@ -178,16 +182,27 @@ def materialize_artifacts(manifest, media, base_dir: str):
                   "n_bytes long, status string")
 
     def run(batches):
+        root = None  # resolved lazily on the executor
         for pdf in batches:
             if pdf.empty:
                 continue
+            if root is None:
+                os.makedirs(base_dir, exist_ok=True)
+                root = os.path.realpath(base_dir)
             n_bytes, status = [], []
             for path, content in zip(pdf["artifact_path"], pdf["content"]):
                 if content is None:
                     n_bytes.append(0)
                     status.append("missing")
                     continue
-                full = os.path.join(base_dir, path)
+                # doc_id is embedded raw in artifact_path: resolve and
+                # refuse anything landing outside base_dir ('..' or
+                # absolute ids would traverse out of the artifacts dir)
+                full = os.path.realpath(os.path.join(root, path))
+                if not full.startswith(root + os.sep):
+                    n_bytes.append(0)
+                    status.append("unsafe_path")
+                    continue
                 os.makedirs(os.path.dirname(full), exist_ok=True)
                 with open(full, "wb") as fh:
                     fh.write(bytes(content))

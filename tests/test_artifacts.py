@@ -84,6 +84,42 @@ def test_materialize_artifacts_writes_files(spark, ref_out, tmp_path):
         assert by_ref[ref].n_bytes == len(payload)
 
 
+def test_materialize_refuses_path_traversal(spark, tmp_path):
+    """``artifact_path`` embeds the raw doc_id:string; a hostile id
+    ('../..', absolute, or slash-bearing) must never write outside
+    --artifacts-dir. The write is refused and surfaced as an
+    ``unsafe_path`` status row (A4: errors are rows), while benign
+    slash-bearing ids that stay inside the dir still write."""
+    base = tmp_path / "art"
+    outside = tmp_path / "escape.bin"
+    rows = [
+        ("../../" + outside.name, [("image", "", "m://evil", 0)]),
+        ("s3://bucket/doc-9", [("image", "", "m://ok", 0)]),
+    ]
+    docs = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = extract(docs, image_mode="referenced")
+    media = spark.createDataFrame(
+        [("../../" + outside.name, "m://evil", "image", b"EVIL", 4),
+         ("s3://bucket/doc-9", "m://ok", "image", b"OK", 2)],
+        "doc_id string, media_ref string, media_type string,"
+        " content binary, n_bytes long")
+    res = {r.media_ref: r for r in materialize_artifacts(
+        artifacts_manifest(out), media, str(base)).collect()}
+    assert res["m://evil"].status == "unsafe_path"
+    assert res["m://evil"].n_bytes == 0
+    assert not outside.exists()
+    # nothing escaped the base dir anywhere on the tmp tree
+    stray = [f for root, _d, fs in os.walk(tmp_path) for f in fs
+             if not root.startswith(str(base))]
+    assert stray == []
+    assert res["m://ok"].status == "written"
+    written = [os.path.join(root, f)
+               for root, _d, fs in os.walk(base) for f in fs]
+    assert len(written) == 1
+    with open(written[0], "rb") as fh:
+        assert fh.read() == b"OK"
+
+
 _PREP = r"""
 import sys
 from pyspark.sql import SparkSession

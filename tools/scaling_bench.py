@@ -77,27 +77,19 @@ def _session(master: str, cores: int):
     )
 
 
-def _burn(secs: float) -> int:
-    t0 = time.time()
-    x = 0
-    while time.time() - t0 < secs:
-        x += 1
-    return x
-
-
 def _canary(cores: int, secs: float = 2.0) -> float:
     """Per-proc busy-loop Miters/s on this leg's affinity mask — the
-    episodic-steal detector. The sandbox host suffers hypervisor CPU
-    steal in bursts (documented rounds 2-4; measured 10x task-time
-    inflation during one burst while /proc/stat steal read 0 before
-    and after). A leg whose canary is depressed vs its siblings was
-    measured during a burst and must be re-run, not averaged in.
+    episodic-steal detector (loop body shared with bench.py via
+    tools/steal_canary.py so readings stay comparable across tools).
+    The sandbox host suffers hypervisor CPU steal in bursts
+    (documented rounds 2-4; measured 10x task-time inflation during
+    one burst while /proc/stat steal read 0 before and after). A leg
+    whose canary is depressed vs its siblings was measured during a
+    burst and must be re-run, not averaged in.
     """
-    import multiprocessing as mp
+    from tools.steal_canary import canary as probe
 
-    with mp.Pool(cores) as pool:
-        total = sum(pool.map(_burn, [secs] * cores))
-    return round(total / cores / secs / 1e6, 2)
+    return probe(cores, secs)
 
 
 def prepare(n_docs: int) -> None:
