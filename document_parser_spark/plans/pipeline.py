@@ -145,12 +145,18 @@ def _python_parse_branch(src: DataFrame) -> DataFrame:
                     out = _one2one(grp, docx_clean_series(grp["text"]),
                                    "text", drop_blank=True)
                 elif kind == "docx_table":
+                    # NULL payload == empty payload (the oracle's
+                    # NULL-text contract): without fillna the cleaned
+                    # NULL survives drop_blank=False and emits a
+                    # NULL-text output span the oracle never produces
                     out = _one2one(grp,
-                                   table_clean_series(grp["text"], False),
+                                   table_clean_series(
+                                       grp["text"].fillna(""), False),
                                    "table", drop_blank=False)
                 else:  # "table"
                     out = _one2one(grp,
-                                   table_clean_series(grp["text"], True),
+                                   table_clean_series(
+                                       grp["text"].fillna(""), True),
                                    "table", drop_blank=False)
                 if len(out):
                     yield out

@@ -63,6 +63,17 @@ def parse_document(
     pdf_anchor: int | None = None
 
     for kind, text, media_ref, offset in ordered:
+        # NULL-text contract (mirrors the Spark pipeline exactly): a
+        # NULL payload behaves as the EMPTY payload for every kind —
+        # text/docx hit the blank drop, html parses to zero blocks,
+        # table cleans to an empty cell, and an empty pdf_line payload
+        # is malformed (missing separator) -> a parse-failure tally.
+        # The Spark arms pin the same rule (`sp["text"] or ""` in the
+        # pdf batch, fillna("") in the table arms, coalesced blank
+        # test in the JVM arm), so a NULL never raises and never
+        # silently vanishes on either side.
+        if text is None:
+            text = ""
         if kind == "pdf_line":
             if pdf_anchor is None:
                 pdf_anchor = offset

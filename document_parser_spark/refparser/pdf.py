@@ -24,6 +24,7 @@ Rules (FIXTURES.md §4.2, constants in config.py):
 
 from __future__ import annotations
 
+import re
 from statistics import median
 
 from document_parser_spark.config import COLUMN_GAP_FRACTION, Y_GAP_FACTOR
@@ -34,18 +35,28 @@ class PdfLineError(ValueError):
     """Raised for a malformed pdf_line payload (-> parse_failure tally)."""
 
 
+_COORD_RE = re.compile(r"[+-]?[0-9]+\Z")
+
+
 def parse_line(payload: str) -> tuple[int, int, int, int, int, str]:
-    """``"1;7200;70100;30950;71300|Hello"`` -> (page,x0,y0,x1,y1,text)."""
+    """``"1;7200;70100;30950;71300|Hello"`` -> (page,x0,y0,x1,y1,text).
+
+    Coordinates must match the FIXTURES.md grammar exactly: ASCII
+    digits with one optional sign. A bare ``int(p)`` would silently
+    accept whitespace padding, ``1_0`` underscores, and non-ASCII
+    unicode digits — all of which the vectorized Spark arm
+    (operators/pdf_parse.py to_numeric + charset reject) treats as
+    malformed; the regex pins the oracle to the same grammar so the
+    two sides cannot disagree on junk coordinates."""
     head, sep, text = payload.partition("|")
     if not sep:
         raise PdfLineError("missing '|' separator")
     parts = head.split(";")
     if len(parts) != 5:
         raise PdfLineError("expected 5 coordinate fields")
-    try:
-        page, x0, y0, x1, y1 = (int(p) for p in parts)
-    except ValueError as exc:
-        raise PdfLineError("non-integer coordinate") from exc
+    if not all(_COORD_RE.match(p) for p in parts):
+        raise PdfLineError("non-integer coordinate")
+    page, x0, y0, x1, y1 = (int(p) for p in parts)
     return page, x0, y0, x1, y1, text
 
 
