@@ -133,6 +133,14 @@ def parse_pdf_batch(doc_ids: np.ndarray, spans_col) -> pd.DataFrame:
     # reject floats / non-integer strings (reference regex-free int() parse)
     valid &= ~coords[[0, 1, 2, 3, 4]].apply(
         lambda c: c.str.contains(r"[^0-9+-]", na=True)).any(axis=1)
+    # magnitude bound (grammar): accepted values must stay < 10^15 <
+    # 2^53 — to_numeric falls back to float64 whenever any row in the
+    # batch coerces to NaN, and an integer above 2^53 would round here
+    # while the oracle's arbitrary-precision int() keeps it exact
+    # (r4 ADVICE). Matches refparser.pdf's {1,15} digit cap.
+    valid &= ~coords[[0, 1, 2, 3, 4]].apply(
+        lambda c: c.str.replace(r"^[+-]", "", regex=True)
+                   .str.len().gt(15)).any(axis=1)
 
     cleaned = clean_and_fix_series(parts[2]).str.strip().to_numpy()
     doc_arr = np.asarray(rows_doc)

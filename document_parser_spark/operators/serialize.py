@@ -158,12 +158,15 @@ def materialize_artifacts(manifest, media, base_dir: str):
     reference's artifacts-dir layout, but distributed.
 
     -> (doc_id, media_ref, artifact_path, n_bytes, status) with status
-    ``written``, ``missing`` (manifest row with no media bytes) or
+    ``written``, ``missing`` (manifest row with no media bytes),
     ``unsafe_path`` (the path escapes ``base_dir`` — ``artifact_path``
     embeds the raw ``doc_id:string``, so a hostile id like ``../../x``
     or an absolute path would otherwise write outside the artifacts
     dir; the write is refused and surfaced as a row — the A4 posture:
-    never throw, never silently lose).
+    never throw, never silently lose) or ``io_error`` (the resolve /
+    mkdir / write itself raised — a NUL byte in the id makes realpath
+    raise ValueError, an overlong component makes open raise OSError;
+    both become rows, not task failures).
 
     Scale notes: ``base_dir`` must be a shared filesystem / object
     store mount (on a cluster each task writes its own partition's
@@ -198,14 +201,21 @@ def materialize_artifacts(manifest, media, base_dir: str):
                 # doc_id is embedded raw in artifact_path: resolve and
                 # refuse anything landing outside base_dir ('..' or
                 # absolute ids would traverse out of the artifacts dir)
-                full = os.path.realpath(os.path.join(root, path))
-                if not full.startswith(root + os.sep):
+                try:
+                    full = os.path.realpath(os.path.join(root, path))
+                    if not full.startswith(root + os.sep):
+                        n_bytes.append(0)
+                        status.append("unsafe_path")
+                        continue
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    with open(full, "wb") as fh:
+                        fh.write(bytes(content))
+                except (ValueError, OSError):
+                    # NUL-byte ids (ValueError from realpath/open) and
+                    # overlong paths (OSError) surface as rows (A4)
                     n_bytes.append(0)
-                    status.append("unsafe_path")
+                    status.append("io_error")
                     continue
-                os.makedirs(os.path.dirname(full), exist_ok=True)
-                with open(full, "wb") as fh:
-                    fh.write(bytes(content))
                 n_bytes.append(len(content))
                 status.append("written")
             yield pd.DataFrame({

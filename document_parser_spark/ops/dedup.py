@@ -289,7 +289,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N,
     )
 
 
-def _jaccard_probe_cached(spark, docs: DataFrame, n: int = SHINGLE_N,
+def _jaccard_probe_cached(docs: DataFrame, n: int = SHINGLE_N,
                           max_df: int | None = NGRAM_MAX_DF) -> bool:
     """Test probe: is the df-annotated shingle relation that
     ``ngram_jaccard_pairs(docs, n, max_df)`` persists currently held by

@@ -35,7 +35,7 @@ class PdfLineError(ValueError):
     """Raised for a malformed pdf_line payload (-> parse_failure tally)."""
 
 
-_COORD_RE = re.compile(r"[+-]?[0-9]+\Z")
+_COORD_RE = re.compile(r"[+-]?[0-9]{1,15}\Z")
 
 
 def parse_line(payload: str) -> tuple[int, int, int, int, int, str]:
@@ -47,7 +47,15 @@ def parse_line(payload: str) -> tuple[int, int, int, int, int, str]:
     unicode digits — all of which the vectorized Spark arm
     (operators/pdf_parse.py to_numeric + charset reject) treats as
     malformed; the regex pins the oracle to the same grammar so the
-    two sides cannot disagree on junk coordinates."""
+    two sides cannot disagree on junk coordinates.
+
+    Magnitude is bounded at 15 digits (values < 10^15 < 2^53): the
+    vectorized arm holds coordinates as float64 whenever any row in
+    the batch coerced to NaN, so an accepted value must be exactly
+    representable in float64 — an unbounded grammar lets integers
+    above 2^53 pass both sides with different values (r4 ADVICE).
+    Real coordinates are PDF points x100 (< 10^7); both grammars
+    reject the pathological tail identically."""
     head, sep, text = payload.partition("|")
     if not sep:
         raise PdfLineError("missing '|' separator")

@@ -120,6 +120,36 @@ def test_materialize_refuses_path_traversal(spark, tmp_path):
         assert fh.read() == b"OK"
 
 
+def test_materialize_hostile_ids_become_rows(spark, tmp_path):
+    """Ids the filesystem itself rejects (NUL byte -> ValueError from
+    realpath/open, >255-byte component -> OSError from makedirs) must
+    not crash the Spark task: they surface as ``io_error`` rows
+    (ADVICE r4: the unsafe_path guard covered traversal but let these
+    escape as task failures)."""
+    base = tmp_path / "art"
+    nul_id = "doc\x00evil"
+    long_id = "x" * 600
+    rows = [
+        (nul_id, [("image", "", "m://nul", 0)]),
+        (long_id, [("image", "", "m://long", 0)]),
+        ("fine", [("image", "", "m://fine", 0)]),
+    ]
+    docs = spark.createDataFrame(rows, SPAN_SCHEMA)
+    media = spark.createDataFrame(
+        [(nul_id, "m://nul", "image", b"A", 1),
+         (long_id, "m://long", "image", b"B", 1),
+         ("fine", "m://fine", "image", b"C", 1)],
+        "doc_id string, media_ref string, media_type string,"
+        " content binary, n_bytes long")
+    res = {r.media_ref: r for r in materialize_artifacts(
+        artifacts_manifest(extract(docs, image_mode="referenced")),
+        media, str(base)).collect()}
+    assert res["m://nul"].status == "io_error"
+    assert res["m://long"].status == "io_error"
+    assert res["m://nul"].n_bytes == 0 and res["m://long"].n_bytes == 0
+    assert res["m://fine"].status == "written"
+
+
 _PREP = r"""
 import sys
 from pyspark.sql import SparkSession

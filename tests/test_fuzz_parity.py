@@ -52,6 +52,11 @@ GRAMMAR_CASES = {
     "double-sign": [("pdf_line", "+-1;2;3;4;5|x", "", 0)],
     "six-fields": [("pdf_line", "1;2;3;4;5;6|x", "", 0)],
     "trailing-sign": [("pdf_line", "5-;2;3;4;5|x", "", 0)],
+    # magnitude bound: >15 digits rejected by BOTH grammars (above
+    # 2^53 the vectorized float64 arm and the oracle's int() would
+    # otherwise disagree on the VALUE while both accept the string)
+    "overflow-16d": [("pdf_line", "1;9007199254740993;3;4;5|x", "", 0)],
+    "max-15d": [("pdf_line", "1;2;999999999999999;4;5|ok15", "", 0)],
 }
 
 
@@ -88,12 +93,14 @@ def test_grammar_cases_fail_as_expected():
     a bare int())."""
     for name in ("ws-pad", "underscore", "unicode-digit", "float",
                  "empty-field", "no-sep", "empty-payload", "double-sign",
-                 "six-fields", "trailing-sign"):
+                 "six-fields", "trailing-sign", "overflow-16d"):
         want = parse_document(name, GRAMMAR_CASES[name])
         assert want.n_failures == 1, name
         assert want.status == "parse_failure", name
     ok = parse_document("plus-sign", GRAMMAR_CASES["plus-sign"])
     assert ok.n_failures == 0 and ok.spans[0][1] == "ok"
+    ok15 = parse_document("max-15d", GRAMMAR_CASES["max-15d"])
+    assert ok15.n_failures == 0 and ok15.spans[0][1] == "ok15"
 
 
 # -- the fuzz ----------------------------------------------------------

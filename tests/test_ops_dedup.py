@@ -153,7 +153,7 @@ def test_stale_pool_twin_never_evicts_fresh_cache(spark, docs):
     for lo in range(cachereg.MAX_LIVE - 1):
         dd.ngram_jaccard_pairs(docs.filter(f"doc_id > {lo + 1}")).count()
     assert cachereg.live_count() <= cachereg.MAX_LIVE
-    assert dd._jaccard_probe_cached(spark, docs)
+    assert dd._jaccard_probe_cached(docs)
     spark.catalog.clearCache()
     cachereg.release_session_caches()
 
@@ -173,7 +173,7 @@ def test_pool_is_lru_not_fifo(spark, docs):
         dd.ngram_jaccard_pairs(docs).count()      # warm hit refreshes A
     # one more distinct plan overflows the pool; FIFO would evict A
     dd.ngram_jaccard_pairs(docs.filter("doc_id > 99")).count()
-    assert dd._jaccard_probe_cached(spark, docs)
+    assert dd._jaccard_probe_cached(docs)
     spark.catalog.clearCache()
     cachereg.release_session_caches()
 
