@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from document_parser_spark.ops.textstats import EN_STOP_RATIO_MIN, STOPWORDS
+from document_parser_spark.ops.textstats import (
+    LANG_ORDER,
+    STOPWORDS,
+    lang_argmax,
+)
 
 OCR_PREFIX = "[ocr:"
 # The reference's OCR failure semantics (image_parser.py:174-182): a
@@ -132,7 +136,13 @@ def detect_language(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     """A2: sample = first 3 non-empty text spans joined by newline (the
     reference's detect-language payload, translator/v1/service.py:57-64),
     scored by the stopword heuristic -> ``lang`` column. Array-only:
-    no shuffle, no UDF."""
+    no shuffle, no UDF.
+
+    The per-language ratios materialize ONCE per row behind a Generate
+    barrier and the argmax CASE chain is ``textstats.lang_argmax`` —
+    shared with ``ops.textstats.lang_id`` (r4 VERDICT #6: the previous
+    inline chain re-evaluated each split+filter ratio up to twice per
+    language)."""
     sample = F.concat_ws(
         "\n",
         F.slice(
@@ -150,14 +160,9 @@ def detect_language(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
                 .cast("double")
                 / F.greatest(F.size(words), F.lit(1)).cast("double"))
 
-    order = ("en", "de", "fr", "es")
-    best_ratio = ratio(STOPWORDS[order[0]])
-    best_lang = F.lit(order[0])
-    for lang in order[1:]:
-        r = ratio(STOPWORDS[lang])
-        cond = r > best_ratio
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_ratio = F.when(cond, r).otherwise(best_ratio)
-    lang = F.when(best_ratio >= F.lit(EN_STOP_RATIO_MIN), best_lang) \
-            .otherwise(F.lit("unk"))
-    return docs.withColumn("lang", lang)
+    r_struct = F.struct(*[ratio(STOPWORDS[lang]).alias(f"_r_{lang}")
+                          for lang in LANG_ORDER])
+    d = docs.select("*", F.inline(F.array(r_struct)))
+    lang, _score = lang_argmax(lambda lg: F.col(f"_r_{lg}"))
+    return (d.withColumn("lang", lang)
+            .drop(*[f"_r_{lg}" for lg in LANG_ORDER]))

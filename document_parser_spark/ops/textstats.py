@@ -88,6 +88,32 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def lang_argmax(ratio_col) -> tuple[F.Column, F.Column]:
+    """Deterministic stopword-ratio argmax -> (guess, best_ratio),
+    shared by :func:`lang_id` and ``operators.enrich.detect_language``
+    (r4 VERDICT #6: the two call sites carried duplicated CASE chains).
+
+    ``ratio_col(lang)`` must reference an ALREADY-MATERIALIZED ratio
+    column sitting behind a Generate barrier (see lang_id's inline
+    trick) — passing a raw expression would let CollapseProject inline
+    it back into every CASE reference, re-evaluating it up to 2x per
+    language. Fixed evaluation order = deterministic argmax (strict >
+    keeps the earlier language on ties — same CASE chain as the SQL
+    oracle); below EN_STOP_RATIO_MIN the guess is 'unk'."""
+    best_ratio = ratio_col(LANG_ORDER[0])
+    best_lang = F.lit(LANG_ORDER[0])
+    for lang in LANG_ORDER[1:]:
+        cond = ratio_col(lang) > best_ratio
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(cond, ratio_col(lang)).otherwise(best_ratio)
+    guess = F.when(best_ratio >= F.lit(EN_STOP_RATIO_MIN), best_lang) \
+             .otherwise(F.lit("unk"))
+    return guess, best_ratio
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram-free stopword-ratio language guess (deterministic
     heuristic; per-language ratio, argmax with fixed tie order).
@@ -108,7 +134,6 @@ def lang_id(docs: DataFrame) -> DataFrame:
         return (F.regexp_count(padded, F.lit(pat)).cast("double")
                 / F.greatest(n_words, F.lit(1)).cast("double"))
 
-    order = ("en", "de", "fr", "es")
     # Materialize the four regex ratios ONCE per row behind a Generate
     # barrier (inline of a 1-element struct array): the nested argmax
     # CASE chain references each ratio several times, CollapseProject
@@ -116,18 +141,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
     # codegen subexpression elimination skips conditionally-evaluated
     # branches — measured as the whole cost of this operator.
     r_struct = F.struct(*[ratio(STOPWORDS[lang]).alias(f"r_{lang}")
-                          for lang in order])
+                          for lang in LANG_ORDER])
     d = docs.select("doc_id", F.inline(F.array(r_struct)))
-    # fixed evaluation order = deterministic argmax (strict > keeps the
-    # earlier language on ties — same CASE chain in the SQL oracle)
-    best_ratio = F.col(f"r_{order[0]}")
-    best_lang = F.lit(order[0])
-    for lang in order[1:]:
-        cond = F.col(f"r_{lang}") > best_ratio
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_ratio = F.when(cond, F.col(f"r_{lang}")).otherwise(best_ratio)
-    guess = F.when(best_ratio >= F.lit(EN_STOP_RATIO_MIN), best_lang) \
-             .otherwise(F.lit("unk"))
+    guess, best_ratio = lang_argmax(lambda lang: F.col(f"r_{lang}"))
     return d.select(
         "doc_id",
         guess.alias("lang_guess"),

@@ -201,6 +201,48 @@ def test_giant_bucket_engages_case_salt(spark):
     assert len(got["cold"].spans) == 1
 
 
+def test_hot_doc_fallback_never_reads_payload(spark, tmp_path):
+    """r4 VERDICT #2: when the input lacks size_bucket, the hot-doc
+    estimate used to fold length(text) over the whole spans payload —
+    a second complete read of the biggest column at 100 TB. The
+    count-only fallback must scan ONLY the spans.offset leaf (nested
+    schema pruning) — ReadSchema without text/kind/media_ref."""
+    from document_parser_spark.plans.pipeline import _hot_docs_fallback
+    from document_parser_spark.schema import DOCUMENTS_IN_SCHEMA
+    rows = [{"doc_id": "d", "host": "h", "size_bucket": "s",
+             "spans": [{"kind": "text", "text": "payload",
+                        "media_ref": None, "offset": 0}]}]
+    path = str(tmp_path / "span_tbl")
+    spark.createDataFrame(rows, DOCUMENTS_IN_SCHEMA).write.parquet(path)
+    t = spark.read.parquet(path).drop("size_bucket")
+    p = plan(_hot_docs_fallback(t, 100))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs, p
+    assert "offset" in rs[0], rs[0]
+    assert "text" not in rs[0] and "media_ref" not in rs[0], rs[0]
+
+
+def test_fallback_hot_doc_engages_case_salt(spark):
+    """No size_bucket column at all: the span-count fallback must still
+    flag the giant doc, route extract() to the CASE-salted tree, and
+    reassemble exactly."""
+    from document_parser_spark.plans.pipeline import extract
+    rows = [("hot", [(f"w{j}", j) for j in range(300)]),
+            ("cold", [("c", 0)])]
+    df = spark.createDataFrame(
+        [(d, [{"kind": "text", "text": t, "media_ref": None, "offset": o}
+              for t, o in spans]) for d, spans in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = extract(df, salt_threshold=100)
+    p = plan(out)
+    assert "pmod" in p           # CASE-salt reached the phase-1 key
+    got = {r.doc_id: r for r in out.collect()}
+    assert [s["text"] for s in got["hot"].spans] \
+        == [f"w{j}" for j in range(300)]
+    assert len(got["cold"].spans) == 1
+
+
 def test_ingest_flags_giant_bucket(spark):
     """ingest_raw_text derives size_bucket from raw byte length:
     ordinary docs 's', pathological ones 'g'."""
@@ -216,6 +258,22 @@ def test_ingest_flags_giant_bucket(spark):
            for r in ingest_raw_text(df).select(
                "doc_id", "size_bucket").collect()}
     assert got == {"a": "s", "b": GIANT_SIZE_BUCKET}
+
+
+def test_detect_language_single_ratio_evaluation(spark):
+    """r4 VERDICT #6: detect_language's per-language ratio must appear
+    exactly once in the plan (materialized behind a Generate barrier,
+    argmax CASE referencing columns) — the old inline chain duplicated
+    each split+filter ratio up to twice per language."""
+    from document_parser_spark.operators.enrich import detect_language
+    from document_parser_spark.ops.textstats import LANG_ORDER
+    docs = spark.createDataFrame(
+        [("d", [("text", "the of and", "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    p = plan(detect_language(docs))
+    assert p.count("array_contains") == len(LANG_ORDER), p
+    assert "Generate" in p
 
 
 def test_ann_topk_partial_per_partition(spark):
