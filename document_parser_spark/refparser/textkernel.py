@@ -101,6 +101,111 @@ _BOMS = (
 )
 
 
+# East-Asian multi-byte families (abc/abc.py:51 — chardet's
+# SJIS / EUC-JP / GB / Big5 / EUC-KR probers). Deterministic stand-in
+# in the same fixed-rule style as the Cyrillic split below: the
+# codec's own STRICT decoder is the structural validator (lead/trail
+# grammar, run parity — Cyrillic prose fails it because any odd-length
+# high-byte word leaves a lead paired with the following ASCII byte),
+# and the SCRIPT of the decoded text is the frequency-free
+# discriminator — kana exists only in the Japanese encodings, hangul
+# only in the Korean one, so one fixed threshold per script replaces
+# chardet's per-language frequency tables. Documented limits of the
+# subset: kana-free (all-kanji) Japanese routes to the han branch,
+# and ISO-2022 escape-sequence codecs are out of scope.
+_KANA = ((0x3040, 0x30FF), (0x31F0, 0x31FF))
+_HANGUL = ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F))
+_HAN = ((0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF))
+
+
+def _script_hits(text: str, ranges: tuple) -> tuple[float, int]:
+    """(ratio over non-ASCII chars, absolute hit count)."""
+    non_ascii = [o for o in map(ord, text) if o > 0x7F]
+    if not non_ascii:
+        return 0.0, 0
+    hits = sum(1 for o in non_ascii
+               if any(lo <= o <= hi for lo, hi in ranges))
+    return hits / len(non_ascii), hits
+
+
+def _strict(raw: bytes, enc: str) -> str | None:
+    try:
+        return raw.decode(enc)
+    except UnicodeDecodeError:
+        return None
+
+
+def _ascii_trail_share(raw: bytes) -> float:
+    """Among 2-byte high-lead sequences (lead >= 0x81), the share of
+    trail bytes in 0x40-0x7E — Big5 text routinely pairs a high lead
+    with an ASCII-range trail, GB-2312-range text never does."""
+    n = trails = i = 0
+    while i < len(raw):
+        if raw[i] >= 0x81 and i + 1 < len(raw):
+            n += 1
+            if 0x40 <= raw[i + 1] <= 0x7E:
+                trails += 1
+            i += 2
+        else:
+            i += 1
+    return trails / n if n else 0.0
+
+
+def _high_lead_over_c8_share(raw: bytes) -> float:
+    """Among EUC-structural byte pairs (lead and trail both >= 0xA1),
+    the share of leads >= 0xC9. The EUC-KR common-hangul rows stop at
+    0xC8, while GB hanzi rows run to 0xF7 — so Korean prose reads ~0
+    here and Chinese prose 0.3-0.5. This is the deterministic stand-in
+    for the frequency tables chardet uses to split the two codecs,
+    whose byte GRAMMARS are identical."""
+    n = over = i = 0
+    while i < len(raw):
+        if raw[i] >= 0xA1 and i + 1 < len(raw) and raw[i + 1] >= 0xA1:
+            n += 1
+            if raw[i] >= 0xC9:
+                over += 1
+            i += 2
+        else:
+            i += 1
+    return over / n if n else 0.0
+
+
+def _detect_east_asian(raw: bytes) -> str | None:
+    """Fixed-rule East-Asian detection; None when no rule fires.
+
+    Order: Japanese (full-width kana signature — an EUC stream read as
+    shift-jis yields only HALF-width kana and vice-versa fails the
+    strict grammar, so the two cannot shadow each other), then Korean
+    (hangul), then Chinese with Big5-before-GB18030 when ASCII-range
+    trails appear (GB18030 is near-total over byte pairs, so it must
+    come last and behind absolute-count guards)."""
+    for enc in ("shift_jis", "euc_jp"):
+        t = _strict(raw, enc)
+        if t is not None:
+            ratio, hits = _script_hits(t, _KANA)
+            if ratio > 0.2 and hits >= 4:
+                return enc
+    # Korean only when the lead-byte rows say hangul, not hanzi: GB
+    # pairs with leads <= 0xC8 strictly decode under euc_kr INTO
+    # hangul, so the grammar+script test alone cannot separate the
+    # two — the row-range share can (see _high_lead_over_c8_share).
+    if _high_lead_over_c8_share(raw) <= 0.1:
+        t = _strict(raw, "euc_kr")
+        if t is not None:
+            ratio, hits = _script_hits(t, _HANGUL)
+            if ratio > 0.5 and hits >= 4:
+                return "euc_kr"
+    order = (("big5", "gb18030") if _ascii_trail_share(raw) > 0.05
+             else ("gb18030", "big5"))
+    for enc in order:
+        t = _strict(raw, enc)
+        if t is not None:
+            ratio, hits = _script_hits(t, _HAN)
+            if ratio > 0.7 and hits >= 8:
+                return enc
+    return None
+
+
 def detect_encoding(raw: bytes) -> str | None:
     """Deterministic chardet stand-in for the F1 bytes branch. Called
     only after strict utf-8 failed. Detection order mirrors chardet's
@@ -110,6 +215,9 @@ def detect_encoding(raw: bytes) -> str | None:
     1. Unicode BOMs: utf-32/utf-16, both endiannesses.
     2. BOM-less utf-16: mostly-ASCII text in utf-16 has a NUL in every
        other byte — an asymmetric NUL stripe picks the endianness.
+    2b. East-Asian multi-byte families (shift-jis / euc-jp / gb18030 /
+       big5 / euc-kr): strict-decode grammar + decoded-script
+       thresholds, see ``_detect_east_asian``.
     3. Single-byte codecs by high-byte statistics. The discriminator
        is high-byte DENSITY, not range (Cyrillic and Western accented
        letters share 0xC0-0xFF): Cyrillic prose is almost entirely
@@ -142,6 +250,9 @@ def detect_encoding(raw: bytes) -> str | None:
     high = [b for b in raw if b >= 0x80]
     if not high:
         return None
+    ea = _detect_east_asian(raw)
+    if ea is not None:
+        return ea
     density = len(high) / max(len(letters), 1)
     if density > 0.5:
         # cp866 puts uppercase at 0x80-0x9F and SPLITS lowercase

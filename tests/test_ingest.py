@@ -13,6 +13,10 @@ from document_parser_spark.refparser.textkernel import (
 
 RU = "привет мир это тест"
 FR = "déjà vu café crème"
+JA = "こんにちは、世界。これは日本語のテスト文です。天気が良いですね。"
+KO = "안녕하세요 세계 이것은 한국어 테스트 문장입니다 날씨가 좋네요"
+ZH_S = "你好世界这是一个简体中文测试句子今天天气很好我们一起去公园散步吧"
+ZH_T = "你好世界這是一個繁體中文測試句子今天天氣很好我們一起去公園散步吧"
 
 
 class TestToUtf8Bytes:
@@ -89,6 +93,46 @@ class TestToUtf8Bytes:
         assert detect_encoding(RU.encode("cp866")) == "cp866"
         assert to_utf8_bytes(RU.encode("cp866")) == RU
 
+    # --- East-Asian multi-byte families (r4 verdict missing #1:
+    # shift-jis / euc-jp / gb18030 / big5 / euc-kr — the remaining
+    # chardet coverage a real web corpus hits daily) ----------------
+
+    @pytest.mark.parametrize("enc", ["shift_jis", "euc_jp"])
+    def test_japanese_roundtrip(self, enc):
+        assert to_utf8_bytes(JA.encode(enc)) == JA
+        assert detect_encoding(JA.encode(enc)) == enc
+        # latin-mixed web prose still routes correctly
+        mixed = "Spark で動くテキスト抽出パイプラインのテストです。OK?"
+        assert to_utf8_bytes(mixed.encode(enc)) == mixed
+
+    def test_korean_euc_kr_roundtrip(self):
+        assert detect_encoding(KO.encode("euc_kr")) == "euc_kr"
+        assert to_utf8_bytes(KO.encode("euc_kr")) == KO
+        mixed = "Spark 기반 텍스트 추출 파이프라인 테스트 입니다 OK"
+        assert to_utf8_bytes(mixed.encode("euc_kr")) == mixed
+
+    def test_simplified_chinese_gb_roundtrip(self):
+        assert detect_encoding(ZH_S.encode("gb18030")) == "gb18030"
+        assert to_utf8_bytes(ZH_S.encode("gb18030")) == ZH_S
+        # gb2312 bytes are a strict subset — same decode, same result
+        assert to_utf8_bytes(ZH_S.encode("gb2312")) == ZH_S
+        mixed = "Spark 分布式文本抽取管道的测试句子 OK"
+        assert to_utf8_bytes(mixed.encode("gb18030")) == mixed
+
+    def test_traditional_chinese_big5_roundtrip(self):
+        assert detect_encoding(ZH_T.encode("big5")) == "big5"
+        assert to_utf8_bytes(ZH_T.encode("big5")) == ZH_T
+        mixed = "Spark 分散式文字抽取管道的測試句子 OK"
+        assert to_utf8_bytes(mixed.encode("big5")) == mixed
+
+    def test_east_asian_does_not_shadow_cyrillic(self):
+        """The EA branch runs BEFORE the single-byte stats: Cyrillic
+        prose must still route to its codec (odd-length words break
+        the strict multi-byte grammars, so the EA rules never fire)."""
+        for enc in ("cp1251", "koi8_r", "cp866"):
+            assert detect_encoding(RU.encode(enc)) == enc
+        assert detect_encoding(FR.encode("cp1252")) == "cp1252"
+
 
 def test_ingest_raw_text_spark_roundtrip(spark):
     from document_parser_spark.plans.pipeline import extract
@@ -99,6 +143,12 @@ def test_ingest_raw_text_spark_roundtrip(spark):
         ("b2", bytearray(RU.encode("cp1251"))),
         ("b3", bytearray(FR.encode("cp1252"))),
         ("b4", bytearray(b"broken \x81 bytes here")),
+        # one doc per East-Asian family through the Spark seam
+        ("b5", bytearray(JA.encode("shift_jis"))),
+        ("b6", bytearray(JA.encode("euc_jp"))),
+        ("b7", bytearray(KO.encode("euc_kr"))),
+        ("b8", bytearray(ZH_S.encode("gb18030"))),
+        ("b9", bytearray(ZH_T.encode("big5"))),
     ]
     df = spark.createDataFrame(rows, "doc_id string, content binary")
     spans = ingest_raw_text(df)
@@ -107,9 +157,75 @@ def test_ingest_raw_text_spark_roundtrip(spark):
     assert got["b2"] == RU
     assert got["b3"] == FR
     assert got["b4"] == to_utf8_bytes(b"broken \x81 bytes here")
+    assert got["b5"] == JA and got["b6"] == JA
+    assert got["b7"] == KO
+    assert got["b8"] == ZH_S
+    assert got["b9"] == ZH_T
 
     # the decoded table feeds extract() directly (clean maps FFFD->'.')
     out = {r.doc_id: r for r in extract(spans).collect()}
     assert out["b2"].status == "ok"
     assert RU in out["b2"].markdown
     assert "�" not in out["b4"].markdown
+
+
+def test_extract_cli_raw_bytes_all_families(tmp_path):
+    """bin/extract.py --raw-bytes (the spark-submit packaging path)
+    over one doc per encoding family: BOM utf-16, cp1251, cp1252,
+    shift-jis, euc-jp, euc-kr, gb18030, big5 — the markdown output
+    must carry the exact decoded prose."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    prep = r"""
+import sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+docs = [
+    ("utf16", "BOM text PRIVET".encode("utf-16")),
+    ("ru", "PLACEHOLDER_RU".encode("cp1251")),
+    ("fr", "PLACEHOLDER_FR".encode("cp1252")),
+    ("ja-sjis", "PLACEHOLDER_JA".encode("shift_jis")),
+    ("ja-euc", "PLACEHOLDER_JA".encode("euc_jp")),
+    ("ko", "PLACEHOLDER_KO".encode("euc_kr")),
+    ("zh-s", "PLACEHOLDER_ZHS".encode("gb18030")),
+    ("zh-t", "PLACEHOLDER_ZHT".encode("big5")),
+]
+spark.createDataFrame(
+    [(d, bytearray(b)) for d, b in docs],
+    "doc_id string, content binary").write.mode("overwrite") \
+    .parquet(sys.argv[1])
+spark.stop()
+""".replace("PLACEHOLDER_RU", RU).replace("PLACEHOLDER_FR", FR) \
+   .replace("PLACEHOLDER_JA", JA).replace("PLACEHOLDER_KO", KO) \
+   .replace("PLACEHOLDER_ZHS", ZH_S).replace("PLACEHOLDER_ZHT", ZH_T)
+    env = dict(os.environ, PYTHONPATH=repo)
+
+    def run(args):
+        res = subprocess.run([sys.executable] + args, env=env,
+                             capture_output=True, text=True,
+                             timeout=600, cwd=repo)
+        assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+        return res.stdout
+
+    run(["-c", prep, inp])
+    stdout = run(["bin/extract.py", "--input", inp, "--output", out,
+                  "--partitions", "2", "--shuffle-partitions", "4",
+                  "--raw-bytes"])
+    summary = json.loads(stdout.strip().splitlines()[-1])
+    assert summary["output_docs"] == 8
+
+    import duckdb
+    md = {d: m for d, m in duckdb.sql(
+        f"SELECT doc_id, markdown FROM '{out}/**/*.parquet'").fetchall()}
+    assert md["ru"] == RU and md["fr"] == FR
+    assert md["ja-sjis"] == md["ja-euc"] == JA
+    assert md["ko"] == KO
+    assert md["zh-s"] == ZH_S and md["zh-t"] == ZH_T
+    assert "PRIVET" in md["utf16"]
