@@ -97,28 +97,10 @@ def parse_pdf_doc_lines(
     return out
 
 
-def parse_pdf_batch(doc_ids: np.ndarray, spans_col) -> pd.DataFrame:
-    """Batch of (doc_id, pdf-only spans) -> parsed rows
-    (doc_id, ord0, ord1, kind, text, media_ref) incl. __fail__ tallies."""
-    rows_doc: list[int] = []
-    payloads: list[str] = []
-    anchors = np.empty(len(doc_ids), dtype=np.int64)
-    for i, spans in enumerate(spans_col):
-        anchor = None
-        for sp in spans:
-            off = sp["offset"]
-            if anchor is None or off < anchor:
-                anchor = off
-            rows_doc.append(i)
-            payloads.append(sp["text"] or "")
-        anchors[i] = anchor if anchor is not None else 0
-
-    out = {"doc_id": [], "ord0": [], "ord1": [], "kind": [], "text": [],
-           "media_ref": []}
-    if not payloads:
-        return pd.DataFrame(out)
-
-    s = pd.Series(payloads, dtype="object")
+def parse_payloads(s: pd.Series):
+    """Vectorized pdf_line payload parsing shared by the doc-level and
+    per-page kernels: -> (nums 5-col DataFrame, valid bool ndarray,
+    cleaned text ndarray)."""
     parts = s.str.partition("|")
     has_sep = parts[1] == "|"
     coords = parts[0].str.split(";", expand=True)
@@ -141,10 +123,33 @@ def parse_pdf_batch(doc_ids: np.ndarray, spans_col) -> pd.DataFrame:
     valid &= ~coords[[0, 1, 2, 3, 4]].apply(
         lambda c: c.str.replace(r"^[+-]", "", regex=True)
                    .str.len().gt(15)).any(axis=1)
-
     cleaned = clean_and_fix_series(parts[2]).str.strip().to_numpy()
+    return nums, valid.to_numpy(), cleaned
+
+
+def parse_pdf_batch(doc_ids: np.ndarray, spans_col) -> pd.DataFrame:
+    """Batch of (doc_id, pdf-only spans) -> parsed rows
+    (doc_id, ord0, ord1, kind, text, media_ref) incl. __fail__ tallies."""
+    rows_doc: list[int] = []
+    payloads: list[str] = []
+    anchors = np.empty(len(doc_ids), dtype=np.int64)
+    for i, spans in enumerate(spans_col):
+        anchor = None
+        for sp in spans:
+            off = sp["offset"]
+            if anchor is None or off < anchor:
+                anchor = off
+            rows_doc.append(i)
+            payloads.append(sp["text"] or "")
+        anchors[i] = anchor if anchor is not None else 0
+
+    out = {"doc_id": [], "ord0": [], "ord1": [], "kind": [], "text": [],
+           "media_ref": []}
+    if not payloads:
+        return pd.DataFrame(out)
+
+    nums, vmask, cleaned = parse_payloads(pd.Series(payloads, dtype="object"))
     doc_arr = np.asarray(rows_doc)
-    vmask = valid.to_numpy()
 
     for i in range(len(doc_ids)):
         dmask = doc_arr == i
@@ -190,3 +195,103 @@ def pdf_branch(docs_df):
                 yield res
 
     return docs_df.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+_PAGED_KERNEL_SCHEMA = ("doc_id string, anchor int, page long, idx int, "
+                        "kind string, text string, media_ref string")
+
+
+def _paged_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (doc_id, page) group of exploded pdf_line payloads ->
+    per-page blocks. Semantics identical to the single-page slice of
+    ``parse_pdf_doc_lines`` (clustering, median height, and headings
+    are per-page computations in the doc-level kernel too):
+
+      * idx -1 = a page_break marker for every PRESENT page (>= 1
+        valid line) — the downstream plan drops the doc's first one,
+        reproducing the between-pages placement;
+      * idx 0.. = the page's blocks in reading order;
+      * one kind='__fail__' row per malformed line (idx -2; ord1
+        becomes -1 downstream — fail rows are tallied and stripped by
+        reassembly, their relative order is irrelevant)."""
+    from document_parser_spark.schema import FAIL_KIND as _FK
+
+    doc_id = pdf["doc_id"].iloc[0]
+    anchor = int(pdf["anchor"].iloc[0])
+    pg = pdf["page"].iloc[0]
+    pg = None if pd.isna(pg) else int(pg)
+    nums, vmask, cleaned = parse_payloads(
+        pdf["payload"].reset_index(drop=True))
+    out = {"doc_id": [], "anchor": [], "page": [], "idx": [],
+           "kind": [], "text": [], "media_ref": []}
+
+    def emit(idx, kind, text, media):
+        out["doc_id"].append(doc_id)
+        out["anchor"].append(anchor)
+        out["page"].append(pg)
+        out["idx"].append(idx)
+        out["kind"].append(kind)
+        out["text"].append(text)
+        out["media_ref"].append(media)
+
+    if vmask.any():
+        emit(-1, "page_break", "", "")
+        blocks = parse_pdf_doc_lines(
+            nums[0].to_numpy()[vmask], nums[1].to_numpy()[vmask],
+            nums[2].to_numpy()[vmask], nums[3].to_numpy()[vmask],
+            nums[4].to_numpy()[vmask], cleaned[vmask],
+        )
+        for j, (kind, text, media) in enumerate(blocks):
+            emit(j, kind, text, media)
+    for _ in range(int((~vmask).sum())):
+        emit(-2, _FK, None, None)
+    return pd.DataFrame(out)
+
+
+def pdf_branch_paged(lines_df):
+    """The giant-doc pdf path (SCALE.md §8; reference counterpart:
+    Docling's page-streamed ThreadedStandardPdfPipeline,
+    file_parsers/pdf_parser.py:42): parse pathological documents
+    PER PAGE so a 10^5-page doc cannot pin one pandas group.
+
+    ``lines_df``: exploded hot-doc pdf lines
+    (doc_id, anchor:int = min span offset of the doc's pdf family,
+    page:long = JVM regexp-extracted page field (NULL for lines whose
+    page field already violates the grammar — those can only be
+    malformed, so WHERE they land only affects which group tallies
+    them), payload:string).
+
+    Plan: groupBy (doc_id, page) -> applyInPandas per-page kernel ->
+    one doc_id-partitioned window assigning the global reading order
+    (ord1 = row_number over (page, idx) with fail rows sorted last and
+    pinned to ord1=-1) and dropping the doc's first page_break. Both
+    shuffles touch only the HOT docs' rows, and the second one carries
+    parsed BLOCKS (joined text), not raw lines. ord1 values may have
+    gaps after the page_break drop — reassembly only sorts by them."""
+    from pyspark.sql import Window, functions as F
+
+    from document_parser_spark.schema import FAIL_KIND as _FK
+    from document_parser_spark.schema import PARSED_SCHEMA
+
+    parsed = (lines_df.groupBy("doc_id", "page")
+              .applyInPandas(_paged_kernel, schema=_PAGED_KERNEL_SCHEMA))
+    is_fail = F.col("kind") == _FK
+    w_doc = Window.partitionBy("doc_id")
+    w_ord = Window.partitionBy("doc_id").orderBy(
+        is_fail.cast("int"), "page", "idx")
+    min_pg = F.min(F.when(~is_fail, F.col("page"))).over(w_doc)
+    return (
+        parsed
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_minpg", min_pg)
+        .filter(~((F.col("kind") == "page_break")
+                  & (F.col("page") == F.col("_minpg"))))
+        .select(
+            "doc_id",
+            F.col("anchor").cast("int").alias("ord0"),
+            F.when(is_fail, F.lit(-1)).otherwise(F.col("_rn") - 1)
+            .cast("int").alias("ord1"),
+            "kind", "text", "media_ref",
+        )
+        .select(*[f.name for f in PARSED_SCHEMA.fields])
+    )

@@ -79,6 +79,7 @@ def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
                salted: bool = True,
                salt_threshold: int | None = None,
                hot_docs: DataFrame | None = None,
+               hot_ids: list | None = None,
                estimate_from_parsed: bool = False) -> DataFrame:
     """PARSED_SCHEMA rows -> (doc_id, spans array<struct> in reading order
     with offsets renumbered 0..n-1, n_failures).
@@ -124,21 +125,28 @@ def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
         if salt_threshold is None:
             docs = _two_phase(parsed, salt_buckets)
         else:
-            if hot_docs is None:
-                if not estimate_from_parsed:
-                    raise ValueError(
-                        "reassemble(salt_threshold=...) needs a hot-doc "
-                        "estimate that does not re-execute the parse "
-                        "lineage: pass hot_docs (extract() derives it "
-                        "from the ingest size_bucket / raw spans), or "
-                        "opt in with estimate_from_parsed=True if "
-                        "`parsed` is a materialized relation whose "
-                        "re-scan is cheap")
-                hot_docs = (parsed.groupBy("doc_id")
-                            .agg(F.count("*").alias("_n"))
-                            .filter(F.col("_n") > salt_threshold)
-                            .select("doc_id"))
-            hot_rows = hot_docs.limit(_HOT_ID_CAP + 1).collect()
+            if hot_ids is not None:
+                # pre-collected by the caller (extract() shares one
+                # bounded collect between this plan choice and the pdf
+                # per-page fork)
+                hot_rows = [(i,) for i in hot_ids]
+            else:
+                if hot_docs is None:
+                    if not estimate_from_parsed:
+                        raise ValueError(
+                            "reassemble(salt_threshold=...) needs a "
+                            "hot-doc estimate that does not re-execute "
+                            "the parse lineage: pass hot_docs/hot_ids "
+                            "(extract() derives them from the ingest "
+                            "size_bucket / raw spans), or opt in with "
+                            "estimate_from_parsed=True if `parsed` is "
+                            "a materialized relation whose re-scan is "
+                            "cheap")
+                    hot_docs = (parsed.groupBy("doc_id")
+                                .agg(F.count("*").alias("_n"))
+                                .filter(F.col("_n") > salt_threshold)
+                                .select("doc_id"))
+                hot_rows = hot_docs.limit(_HOT_ID_CAP + 1).collect()
             if not hot_rows:
                 docs = _single_phase(parsed)
             elif len(hot_rows) > _HOT_ID_CAP:

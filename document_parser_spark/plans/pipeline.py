@@ -44,7 +44,11 @@ from document_parser_spark.functions.cleaning import (
     needs_python_column,
 )
 from document_parser_spark.operators.pdf_parse import pdf_branch
-from document_parser_spark.operators.reassemble import DOC_MARKER_KIND, reassemble
+from document_parser_spark.operators.reassemble import (
+    _HOT_ID_CAP,
+    DOC_MARKER_KIND,
+    reassemble,
+)
 from document_parser_spark.operators.serialize import make_serialize_udf
 from document_parser_spark.schema import FAIL_KIND
 
@@ -178,12 +182,20 @@ def _python_parse_branch(src: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema=PARSED_SCHEMA)
 
 
-def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
+def parse_all_branches(df: DataFrame, pdf_vlm: bool = False,
+                       hot_ids: list | None = None) -> DataFrame:
     """Input docs -> union of parsed rows (PARSED_SCHEMA), reading the
     spans payload in THREE passes total (JVM arm, Python arm, pdf arm —
     see module docstring). ``pdf_vlm`` selects the VLM whole-doc PDF
     parser instead of the layout pipeline (the reference's alternative
-    parser, pdf_parser_vlm.py)."""
+    parser, pdf_parser_vlm.py).
+
+    ``hot_ids``: the collected giant-doc id set (extract's salting
+    probe). When non-empty, pdf docs in the set take the PER-PAGE
+    parse path (pdf_branch_paged) so a pathological page count cannot
+    pin one pandas group — at the cost of one extra pdf-subtree scan
+    paid ONLY when giants exist (the common no-giants plan keeps its
+    3+1 scans)."""
     exploded = explode_spans(df, exclude_pdf=True)
 
     # Blank test (F8): the reference's `if not text.strip()` — Python
@@ -254,6 +266,33 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False) -> DataFrame:
     if pdf_vlm:
         from document_parser_spark.operators.pdf_vlm import pdf_vlm_branch
         pdf_rows = pdf_vlm_branch(pdf_docs)
+        # (the VLM parser concatenates whole pages — a giant doc fails
+        # its raises_on_error contract long before pandas memory does,
+        # so no per-page fork here)
+    elif hot_ids:
+        from document_parser_spark.operators.pdf_parse import (
+            pdf_branch_paged,
+        )
+        if len(hot_ids) <= 1024:
+            is_hot = F.col("doc_id").isin(list(hot_ids))
+            cold_pdf = pdf_docs.filter(~is_hot)
+            hot_pdf = pdf_docs.filter(is_hot)
+        else:
+            ids_df = F.broadcast(df.sparkSession.createDataFrame(
+                [(i,) for i in hot_ids], "doc_id string"))
+            cold_pdf = pdf_docs.join(ids_df, "doc_id", "left_anti")
+            hot_pdf = pdf_docs.join(ids_df, "doc_id", "left_semi")
+        anchor = F.array_min(
+            F.transform("spans", lambda s: s["offset"])).alias("anchor")
+        lines = (hot_pdf.select(
+            "doc_id", anchor,
+            F.explode(F.transform(
+                "spans",
+                lambda s: F.coalesce(s["text"], F.lit(""))))
+            .alias("payload"))
+            .withColumn("page", F.regexp_extract(
+                "payload", r"^([+-]?[0-9]{1,15});", 1).try_cast("long")))
+        pdf_rows = pdf_branch(cold_pdf).unionByName(pdf_branch_paged(lines))
     else:
         pdf_rows = pdf_branch(pdf_docs)
 
@@ -293,23 +332,26 @@ def extract(
     = first-3-paragraph language column (A2). All three are narrow
     maps over the reassembled span array — zero extra shuffles.
     """
-    parsed = parse_all_branches(df, pdf_vlm=pdf_vlm)
-    # Adaptive-salting hot set. Preferred source: the ingest-time
+    # Adaptive-salting hot set, collected ONCE (bounded — see
+    # reassemble's cap notes) and shared by the reassembly plan choice
+    # AND the pdf per-page fork. Preferred source: the ingest-time
     # size_bucket column (GIANT_SIZE_BUCKET flags docs above the span
     # threshold) — a dictionary-encoded string scan, no spans payload
     # re-measurement; it also carries the byte-derived html-expansion
     # margin, which the count-only fallback deliberately omits (the
     # one-giant-html-span shape is guarded by the ingest span cap).
-    hot_docs = None
+    hot_ids: list | None = None
     if salted and salt_threshold is not None:
         if "size_bucket" in df.columns:
-            hot_docs = (df.filter(F.col("size_bucket")
-                                  == GIANT_SIZE_BUCKET)
-                        .select("doc_id"))
+            hot_df = (df.filter(F.col("size_bucket")
+                                == GIANT_SIZE_BUCKET)
+                      .select("doc_id"))
         else:
-            hot_docs = _hot_docs_fallback(df, salt_threshold)
+            hot_df = _hot_docs_fallback(df, salt_threshold)
+        hot_ids = [r[0] for r in hot_df.limit(_HOT_ID_CAP + 1).collect()]
+    parsed = parse_all_branches(df, pdf_vlm=pdf_vlm, hot_ids=hot_ids)
     docs = reassemble(parsed, salt_buckets=salt_buckets, salted=salted,
-                      salt_threshold=salt_threshold, hot_docs=hot_docs)
+                      salt_threshold=salt_threshold, hot_ids=hot_ids)
     if parse_images:
         from document_parser_spark.operators.enrich import (
             insert_ocr_after_images,

@@ -243,6 +243,47 @@ def test_fallback_hot_doc_engages_case_salt(spark):
     assert len(got["cold"].spans) == 1
 
 
+def test_giant_pdf_doc_splits_per_page(spark):
+    """r4 VERDICT #5 / SCALE.md §8: a pdf doc above the salt threshold
+    must take the PER-PAGE parse path (applyInPandas groups of one
+    page each — a 10^5-page doc can no longer pin one pandas group)
+    with output exactly equal to the doc-level oracle, malformed-line
+    tallies included; cold pdf docs keep the shuffle-free doc-level
+    path in the same plan."""
+    from document_parser_spark.plans.pipeline import extract
+    from document_parser_spark.refparser.parse import parse_document
+
+    def line(pg, ln):
+        y1 = 90000 - ln * 1400
+        h = 2600 if ln == 0 else 1000   # first line = oversize heading
+        return f"{pg};1000;{y1 - h};30000;{y1}|p{pg} line {ln}"
+
+    hot, off = [], 0
+    for pg in range(1, 7):
+        for ln in range(50):
+            hot.append(("pdf_line", line(pg, ln), "", off))
+            off += 1
+        hot.append(("pdf_line", "garbage line", "", off))   # malformed
+        off += 1
+    cold = [("pdf_line", "1;1000;8000;9000;9000|cold doc text", "", 0),
+            ("text", "plain paragraph", "", 1)]
+    rows = [("hot", hot), ("cold", cold)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    out_df = extract(df, salt_threshold=100)
+    p = plan(out_df, mode="simple")
+    assert "FlatMapGroupsInPandas" in p      # the per-page kernel engaged
+    got = {r.doc_id: r for r in out_df.collect()}
+    for name, spans in rows:
+        want = parse_document(name, spans)
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in got[name].spans] == want.spans, name
+        assert got[name].markdown == want.markdown, name
+        assert got[name].n_failures == want.n_failures, name
+        assert got[name].status == want.status, name
+
+
 def test_ingest_flags_giant_bucket(spark):
     """ingest_raw_text derives size_bucket from raw byte length:
     ordinary docs 's', pathological ones 'g'."""
