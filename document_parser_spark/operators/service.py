@@ -1,0 +1,194 @@
+"""Pluggable external-service seam for the enrichment stages.
+
+The reference calls live services per element with bounded concurrency:
+the VLM image parser runs its requests through a concurrency=3 slot
+(image_parser.py:86) and the translator serializes calls behind a
+semaphore (translator/v1/service.py:27). This module is that boundary
+re-expressed for Spark: a **per-partition batched callable** with
+bounded concurrency, a timeout, and the A4 failure posture (an
+errored/timed-out batch yields fallback rows, never a task failure).
+
+Hermeticity (SURVEY §7.0) is preserved: nothing here does IO — the
+deterministic stubs (`ocr_service_fn`, `translate_service_fn`)
+reproduce the pure-column expressions in ``operators.enrich`` exactly
+(same sha2-derived OCR token, same uppercase+backtick translation), so
+the oracle rows are unchanged whichever path runs. A production
+deployment swaps the ``fn`` for an HTTP batch call and touches nothing
+else: the plan shape, batching, concurrency bound, and failure
+semantics all live on this side of the seam.
+
+Scale notes: the service call runs INSIDE the executor task (one
+thread pool per partition, ``concurrency`` in-flight batches), so
+total in-flight requests across the cluster = partitions x
+concurrency — size partitions to the service's rate limit, exactly
+the knob the reference's semaphore provides per process. The spliced
+relation is a narrow map over the reassembled docs: no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Sequence
+
+import pandas as pd
+
+from document_parser_spark.operators.enrich import OCR_FALLBACK_TEXT
+
+
+class BatchedService:
+    """A bounded-concurrency, timeout-guarded batch-call slot.
+
+    ``fn``: the service — takes a list of payload strings, returns the
+    same-length list of results. Called on chunks of ``batch_size``
+    payloads, at most ``concurrency`` chunks in flight (a thread pool
+    per task — requests overlap IO exactly like the reference's
+    concurrency=3 VLM slot). A chunk whose call raises or exceeds
+    ``timeout_s`` resolves to ``fallback`` for every payload in it and
+    is reported failed — the A4 posture (the reference splices a fixed
+    fallback string on OCR errors, image_parser.py:174-182).
+    """
+
+    def __init__(self, fn: Callable[[list[str]], Sequence[str]],
+                 batch_size: int = 32, concurrency: int = 3,
+                 timeout_s: float = 30.0,
+                 fallback: str = OCR_FALLBACK_TEXT) -> None:
+        if batch_size < 1 or concurrency < 1:
+            raise ValueError("batch_size and concurrency must be >= 1")
+        self.fn = fn
+        self.batch_size = batch_size
+        self.concurrency = concurrency
+        self.timeout_s = timeout_s
+        self.fallback = fallback
+
+    def __call__(self, payloads: list[str]) -> tuple[list[str], list[bool]]:
+        """-> (results, ok flags), positionally aligned with payloads."""
+        if not payloads:
+            return [], []
+        chunks = [payloads[i:i + self.batch_size]
+                  for i in range(0, len(payloads), self.batch_size)]
+        results: list[str] = []
+        ok: list[bool] = []
+        pool = ThreadPoolExecutor(max_workers=self.concurrency)
+        try:
+            futures = [pool.submit(self.fn, chunk) for chunk in chunks]
+            for chunk, fut in zip(chunks, futures):
+                try:
+                    res = list(fut.result(timeout=self.timeout_s))
+                    if len(res) != len(chunk):
+                        raise ValueError("service returned wrong length")
+                    results += res
+                    ok += [True] * len(chunk)
+                except Exception:
+                    fut.cancel()
+                    results += [self.fallback] * len(chunk)
+                    ok += [False] * len(chunk)
+        finally:
+            # never wait on a hung call at shutdown: the timed-out
+            # batch already resolved to fallback rows, and blocking
+            # here would turn a service hang into a task hang
+            pool.shutdown(wait=False, cancel_futures=True)
+        return results, ok
+
+
+def ocr_service_fn(payloads: list[str]) -> list[str]:
+    """Deterministic stub service: byte-identical to the pure-column
+    ``enrich.ocr_stub`` ('[ocr:' + sha2(seed, 256)[:12] + ']') so the
+    service-backed path and the column path produce the same rows."""
+    return ["[ocr:" + hashlib.sha256(p.encode("utf-8")).hexdigest()[:12]
+            + "]" for p in payloads]
+
+
+def translate_service_fn(payloads: list[str]) -> list[str]:
+    """Deterministic stub translator: identical to
+    ``enrich.translate_stub`` (uppercase, then the F7 backtick
+    sanitization — translator/v1/service.py:99)."""
+    return [p.upper().replace("`", "*") for p in payloads]
+
+
+def ocr_via_service(docs, service: BatchedService,
+                    spans_col: str = "spans",
+                    include_tables: bool = True):
+    """Service-backed twin of ``enrich.insert_ocr_after_images``: for
+    every image span (and table span, matching the reference's
+    PictureItem-or-TableItem condition) splice the service's OCR text
+    immediately after it, then renumber offsets 0..n-1.
+
+    One ``mapInPandas`` pass over the reassembled docs; each Arrow
+    batch gathers ALL its target payloads into one service invocation
+    set (chunked + concurrent inside :class:`BatchedService`), so the
+    per-request overhead amortizes across documents — the reference
+    issues one request per element and throttles with the semaphore;
+    the batch seam is the Spark-shaped version of the same bound."""
+    fields = ["kind", "text", "media_ref", "offset"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads: list[str] = []
+            for spans in pdf[spans_col]:
+                for s in spans:
+                    if _is_ocr_target(s, include_tables):
+                        payloads.append(s["media_ref"] or s["text"] or "")
+            results, _ok = service(payloads)
+            it = iter(results)
+            new_col = []
+            for spans in pdf[spans_col]:
+                out = []
+                for s in spans:
+                    out.append({f: s[f] for f in fields})
+                    if _is_ocr_target(s, include_tables):
+                        out.append({"kind": "text", "text": next(it),
+                                    "media_ref": "", "offset": s["offset"]})
+                for i, s in enumerate(out):
+                    s["offset"] = i
+                new_col.append(out)
+            out_pdf = pdf.copy()
+            out_pdf[spans_col] = new_col
+            yield out_pdf
+
+    return docs.mapInPandas(run, schema=docs.schema)
+
+
+def _is_ocr_target(s, include_tables: bool) -> bool:
+    if s["kind"] == "image" and s["media_ref"]:
+        return True
+    return include_tables and s["kind"] == "table"
+
+
+_TRANSLATED = ("text", "heading", "list_item", "table")
+
+
+def translate_via_service(docs, service: BatchedService,
+                          spans_col: str = "spans"):
+    """Service-backed twin of ``enrich.translate_spans``: translate
+    text-bearing spans in place through the batched seam."""
+    fields = ["kind", "text", "media_ref", "offset"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # NULL text passes through untranslated, exactly like the
+            # column twin (F.upper(NULL) is NULL)
+            payloads = [s["text"] for spans in pdf[spans_col]
+                        for s in spans
+                        if s["kind"] in _TRANSLATED
+                        and s["text"] is not None]
+            results, _ok = service(payloads)
+            it = iter(results)
+            new_col = []
+            for spans in pdf[spans_col]:
+                out = []
+                for s in spans:
+                    d = {f: s[f] for f in fields}
+                    if s["kind"] in _TRANSLATED and s["text"] is not None:
+                        d["text"] = next(it)
+                    out.append(d)
+                new_col.append(out)
+            out_pdf = pdf.copy()
+            out_pdf[spans_col] = new_col
+            yield out_pdf
+
+    return docs.mapInPandas(run, schema=docs.schema)

@@ -1,0 +1,138 @@
+"""External-service seam (r4 VERDICT #7): the per-partition batched
+callable slot behind the enrichment stages — bounded concurrency,
+timeout, A4 failure rows — with deterministic stub services that must
+reproduce the pure-column stub rows EXACTLY (the oracle contract is
+unchanged whichever side of the seam runs)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from document_parser_spark.operators.service import (
+    BatchedService,
+    ocr_service_fn,
+    ocr_via_service,
+    translate_service_fn,
+    translate_via_service,
+)
+
+SPAN_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>")
+
+ROWS = [
+    ("d1", [("text", "before the `first` image", "", 0),
+            ("image", "", "m://d1/a", 1),
+            ("text", "between images", "", 2),
+            ("image", "", "m://d1/b", 3)]),
+    ("d2", [("image", "", "m://d2/solo", 0),
+            ("table", "a\x1fb\x1ec\x1fd", "", 1)]),
+    ("d3", [("text", "no targets here", "", 0)]),
+]
+
+
+def _spans(df):
+    return {
+        r.doc_id: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                   for s in r.spans]
+        for r in df.collect()
+    }
+
+
+# ---- parity: service-backed path == pure-column stub path ----------
+
+
+def test_ocr_service_matches_column_stub(spark):
+    from document_parser_spark.operators.enrich import (
+        insert_ocr_after_images,
+    )
+    docs = spark.createDataFrame(ROWS, SPAN_SCHEMA)
+    want = _spans(insert_ocr_after_images(docs))
+    got = _spans(ocr_via_service(
+        docs, BatchedService(ocr_service_fn, batch_size=2)))
+    assert got == want
+
+
+def test_translate_service_matches_column_stub(spark):
+    from document_parser_spark.operators.enrich import translate_spans
+    docs = spark.createDataFrame(ROWS, SPAN_SCHEMA)
+    want = _spans(translate_spans(docs))
+    got = _spans(translate_via_service(
+        docs, BatchedService(translate_service_fn, batch_size=3)))
+    assert got == want
+
+
+# ---- the slot's own contract (no Spark needed) ----------------------
+
+
+def test_concurrency_is_bounded():
+    lock = threading.Lock()
+    live = peak = 0
+
+    def fn(chunk):
+        nonlocal live, peak
+        with lock:
+            live += 1
+            peak = max(peak, live)
+        time.sleep(0.05)
+        with lock:
+            live -= 1
+        return [c.upper() for c in chunk]
+
+    svc = BatchedService(fn, batch_size=2, concurrency=3)
+    results, ok = svc([f"p{i}" for i in range(40)])
+    assert results == [f"P{i}" for i in range(40)]
+    assert all(ok)
+    assert peak <= 3
+    assert peak >= 2      # the pool really overlapped calls
+
+
+def test_failing_batch_becomes_fallback_rows():
+    def fn(chunk):
+        if any("BOOM" in c for c in chunk):
+            raise RuntimeError("service exploded")
+        return [c.upper() for c in chunk]
+
+    svc = BatchedService(fn, batch_size=2, fallback="<FAIL>")
+    results, ok = svc(["a", "b", "BOOM", "d", "e"])
+    # chunks: [a,b] ok, [BOOM,d] failed together, [e] ok
+    assert results == ["A", "B", "<FAIL>", "<FAIL>", "E"]
+    assert ok == [True, True, False, False, True]
+
+
+def test_timeout_becomes_fallback_rows():
+    def fn(chunk):
+        if "slow" in chunk[0]:
+            time.sleep(5)
+        return [c.upper() for c in chunk]
+
+    svc = BatchedService(fn, batch_size=1, concurrency=2,
+                         timeout_s=0.2, fallback="<TIMEOUT>")
+    results, ok = svc(["slow one", "fast"])
+    assert results == ["<TIMEOUT>", "FAST"]
+    assert ok == [False, True]
+
+
+def test_wrong_length_response_is_a_failure():
+    svc = BatchedService(lambda chunk: ["only one"], batch_size=3,
+                         fallback="<BAD>")
+    results, ok = svc(["a", "b", "c"])
+    assert results == ["<BAD>"] * 3 and ok == [False] * 3
+
+
+# ---- A4 through Spark: a failing service yields rows, not a crash --
+
+
+def test_failing_service_through_spark_is_rows(spark):
+    from document_parser_spark.operators.enrich import OCR_FALLBACK_TEXT
+
+    def fn(chunk):
+        raise RuntimeError("network down")
+
+    docs = spark.createDataFrame(ROWS, SPAN_SCHEMA)
+    out = _spans(ocr_via_service(docs, BatchedService(fn, batch_size=8)))
+    # every OCR splice carries the reference's fixed fallback string
+    ocr_texts = [s[1] for spans in out.values() for s in spans
+                 if s[0] == "text" and s[1] == OCR_FALLBACK_TEXT]
+    assert len(ocr_texts) == 4        # 3 images + 1 table
+    assert len(out["d1"]) == 6 and len(out["d3"]) == 1
