@@ -63,18 +63,21 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Driver-window risk ordering (r3 VERDICT #1): the correctness harness
-# has verified exactly the FIRST 50 dict entries per round, so
-# insertion order is a verification budget. Head slots go to (a) every
-# query with no green driver row yet (the whole extraction family —
-# including extract_markdown_roundtrip, red in r2 — the interleave
-# payload ops, and every r3 batch-2/3 addition), and (b) every query
-# whose operator was modified THIS round (chunk_dedup repacking,
-# shingle-cache release, reassemble guard, NULL-span guards). The
-# demoted tail is exclusively queries with green r3 driver rows whose
-# operators are untouched this round; they rotate back into the head
-# next round if the window still truncates.
+# verifies exactly the FIRST 50 dict entries per round, so insertion
+# order is a verification budget. The allocation rule, now pinned
+# GENERALLY by tests/test_entry_order.py (r4 VERDICT #1): every query
+# whose last green CORRECTNESS row is not from the LATEST recorded
+# round must sit inside the window (so after each round runs, every
+# query has a green row within the trailing two rounds), plus every
+# query whose operator was modified this round, plus the extraction
+# family (the flagship never leaves the window). Round-5 head: the 28
+# r4-demoted tail queries (r3-green, rotating back as promised), the
+# 10-query extraction family, and the 12 queries over operators this
+# round touched (pipeline hot-doc probe + pdf per-page split + enrich
+# argmax/seam + coordinate grammar). Tail: 28 double-green r4 heads
+# over untouched operators.
 _DRIVER_PRIORITY = (
-    # never driver-verified (r3 window ended at index 49)
+    # extraction family — permanent head residents
     "extract_pipeline",
     "extract_markdown_roundtrip",
     "extract_html_roundtrip",
@@ -85,49 +88,20 @@ _DRIVER_PRIORITY = (
     "interleave_media_gate",
     "interleave_caption_pairs",
     "interleave_image_boilerplate",
-    "agg_lineitem_pricing",
-    "join_revenue_by_nation",
-    "events_asof_join",
-    "events_rollup",
-    "events_json_props",
-    "emb_covariance",
-    "emb_quantize_int8",
-    "text_entropy_stats",
-    "text_dup_ngrams",
-    "text_winnow_fingerprints",
-    "text_blocklist_gate",
-    "text_classifier_gate",
-    "text_quality_tiers",
-    "text_length_outliers",
-    "chunk_sliding_windows",
-    "shuffle_global_order",
-    "top_docs_per_source",
-    "corpus_source_stats",
-    # operators touched this round — must re-verify
-    "dedup_chunks",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_pruned",
-    "decontam_fuzzy",
-    "a1_reassemble_roundtrip",
-    # extraction-core semantics (load-bearing; cheap; keep in window)
-    "s2_kind_gate",
-    "a4_failure_tally",
-    "a3_progress_checkpoints",
+    # operators touched in round 5 — must re-verify
+    "w2_block_clustering",
+    "w3_session_breaks",
     "j1_enrichment_join",
     "j2_translate_zip",
-    "restart_anti_join",
-    "f6_clean_invisibles",
+    "s2_kind_gate",
+    "a4_failure_tally",
+    "a1_reassemble_roundtrip",
+    "a3_progress_checkpoints",
     "f3_nfc_docx",
     "f3_docx_table_asymmetry",
     "w1_first_last_span",
-    "w2_block_clustering",
-    "w3_session_breaks",
-    "w3_session_windows",
-    "dedup_exact",
-    "dedup_cluster_components",
-    "dedup_survivors",
-    # ---- slot 51+ (green in r3, untouched this round) ----
+    "f6_clean_invisibles",
+    # the 28 r4-demoted queries, rotating back (last green: r3)
     "a2_first3_sample",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -156,6 +130,35 @@ _DRIVER_PRIORITY = (
     "ann_lsh_buckets",
     "multimodal_meta",
     "multimodal_decode_stub",
+    # ---- slot 51+ (green in r4, operators untouched this round) ----
+    "agg_lineitem_pricing",
+    "join_revenue_by_nation",
+    "events_asof_join",
+    "events_rollup",
+    "events_json_props",
+    "emb_covariance",
+    "emb_quantize_int8",
+    "text_entropy_stats",
+    "text_dup_ngrams",
+    "text_winnow_fingerprints",
+    "text_blocklist_gate",
+    "text_classifier_gate",
+    "text_quality_tiers",
+    "text_length_outliers",
+    "chunk_sliding_windows",
+    "shuffle_global_order",
+    "top_docs_per_source",
+    "corpus_source_stats",
+    "dedup_chunks",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_pruned",
+    "decontam_fuzzy",
+    "restart_anti_join",
+    "w3_session_windows",
+    "dedup_exact",
+    "dedup_cluster_components",
+    "dedup_survivors",
 )
 
 
