@@ -62,10 +62,39 @@ def canary(procs: int = 8, secs: float = 1.5) -> float:
     return probe(procs, secs)
 
 
+# Publication gate (r4 VERDICT "what's wrong" #1: BENCH_r04's headline
+# was recorded during a ~3x steal window — canary 2.34/2.48 vs quiet
+# 7.0-7.3 — and read as a fake 32% regression). The pre-canary must
+# reach CANARY_GATE x the quiet reference before the run starts;
+# otherwise wait and retry a bounded number of times. If the host
+# never quiets down, the run proceeds anyway (the driver needs a
+# number) but the JSON carries contended=true + the canary ratio so
+# cross-round tables can exclude it.
+QUIET_CANARY = 7.0   # per-proc Miters/s, 8-proc bracket (BENCH/BASELINE.md)
+CANARY_GATE = 0.85   # >15% below quiet = a steal window, per r4 VERDICT
+GATE_RETRIES = int(os.environ.get("SPARK_GRAFT_CANARY_RETRIES", "3"))
+GATE_WAIT_S = float(os.environ.get("SPARK_GRAFT_CANARY_WAIT_S", "45"))
+
+
+def gated_precanary() -> tuple[float, int]:
+    """-> (pre-run canary reading, retries used). Retries while the
+    host looks steal-afflicted, bounded by GATE_RETRIES."""
+    attempt = 0
+    while True:
+        reading = canary()
+        if reading >= CANARY_GATE * QUIET_CANARY or attempt >= GATE_RETRIES:
+            return reading, attempt
+        attempt += 1
+        print(f"  canary {reading} < {CANARY_GATE}x{QUIET_CANARY} quiet ref;"
+              f" steal window — retry {attempt}/{GATE_RETRIES} in"
+              f" {GATE_WAIT_S}s", file=sys.stderr)
+        time.sleep(GATE_WAIT_S)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    canary_pre = canary()
+    canary_pre, gate_retries = gated_precanary()
 
     spark = (
         SparkSession.builder.master(MASTER)
@@ -161,8 +190,19 @@ def main() -> None:
         "cpus": CPUS,
     }
     spark.stop()
-    # steal-burst disclosure: quiet-host baseline ~19-21 Miters/s
-    out["canary_miters"] = [canary_pre, canary()]
+    # steal-burst disclosure + machine-readable verdict: contended
+    # means some part of the run sat in a steal window (either bracket
+    # >15% below the quiet reference) — compare such rounds via
+    # min_total only, or exclude them from cross-round tables.
+    canary_post = canary()
+    ratio = round(min(canary_pre, canary_post) / QUIET_CANARY, 3)
+    out["canary_miters"] = [canary_pre, canary_post]
+    out["canary_quiet_ref"] = QUIET_CANARY
+    out["canary_ratio"] = ratio
+    out["contended"] = ratio < CANARY_GATE
+    out["canary_gate"] = {"threshold": CANARY_GATE,
+                          "retries_used": gate_retries,
+                          "max_retries": GATE_RETRIES}
     print(json.dumps(out))
 
 
