@@ -1,0 +1,59 @@
+"""Quiet-window launcher for the paired scaling protocol.
+
+Round-5 twin of bench.py's publication gate (r4 VERDICT "what's
+wrong" #1): the paired-duo protocol survives a steal BURST landing
+inside one duo, but not a sustained multi-minute steal REGIME — the
+wide leg saturates the host and compounds with the steal, so the
+whole pair reads artificially low (measured this round: duo effs
+[0.16, 0.334, 0.837] with canaries at 3.2-4.3 vs quiet 7.0-7.3).
+This wrapper polls the shared canary until the host reads at least
+GATE x QUIET (the same 0.85 x 7.0 bar bench.py publishes against),
+then hands off to ``scaling_bench.py pair``. If the window never
+opens within --max-wait, it runs anyway and the per-leg canaries in
+the result JSON disclose the regime.
+
+Usage:
+    python tools/gated_pair.py <n_small> <n_big> [rounds] [max_wait_s]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.steal_canary import canary
+
+QUIET = 7.0
+GATE = 0.85
+POLL_S = 120
+
+
+def main() -> None:
+    n_small, n_big = int(sys.argv[1]), int(sys.argv[2])
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    max_wait = float(sys.argv[4]) if len(sys.argv) > 4 else 3600.0
+    t0 = time.time()
+    while True:
+        reading = canary(8, 2.0)
+        ok = reading >= GATE * QUIET
+        waited = time.time() - t0
+        print(f"canary {reading} ({'quiet' if ok else 'steal window'}),"
+              f" waited {waited:.0f}s", flush=True)
+        if ok or waited >= max_wait:
+            if not ok:
+                print("gate timed out — running anyway; per-leg canaries"
+                      " will disclose the regime", flush=True)
+            break
+        time.sleep(POLL_S)
+    me = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "scaling_bench.py")
+    subprocess.run([sys.executable, me, "pair",
+                    str(n_small), str(n_big), str(rounds)], check=True)
+
+
+if __name__ == "__main__":
+    main()
