@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.steal_canary import canary
 
 QUIET = 7.0
-GATE = 0.85
+GATE = float(os.environ.get("GATED_PAIR_GATE", "0.85"))
 POLL_S = 120
 
 
