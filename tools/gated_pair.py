@@ -12,6 +12,15 @@ then hands off to ``scaling_bench.py pair``. If the window never
 opens within --max-wait, it runs anyway and the per-leg canaries in
 the result JSON disclose the regime.
 
+The probe runs AT THE WIDTH OF THE WIDE LEG (n_big procs), not 8:
+this host's steal is an aggregate-cpu cap (~27 core-equivalents when
+it bites — BENCH/BASELINE.md round-4 notes item 7), so an 8-wide
+probe fits under the cap and reads quiet while a 32-wide leg is
+still capped. Measured failure mode of the 8-wide gate, three times
+in round 5: gate opens at 6.22-6.40 on 8 procs, the 32-leg then
+reads 3.9-5.3. A 32-wide probe reads ~5.9 capped vs ~6.7-7.0 quiet,
+so the same 0.85-0.90 x 7.0 bar separates the regimes at full width.
+
 Usage:
     python tools/gated_pair.py <n_small> <n_big> [rounds] [max_wait_s]
 """
@@ -38,7 +47,7 @@ def main() -> None:
     max_wait = float(sys.argv[4]) if len(sys.argv) > 4 else 3600.0
     t0 = time.time()
     while True:
-        reading = canary(8, 2.0)
+        reading = canary(n_big, 2.0)
         ok = reading >= GATE * QUIET
         waited = time.time() - t0
         print(f"canary {reading} ({'quiet' if ok else 'steal window'}),"
