@@ -38,6 +38,10 @@ from tools.steal_canary import canary
 
 QUIET = 7.0
 GATE = float(os.environ.get("GATED_PAIR_GATE", "0.85"))
+# when set, a gate timeout aborts (exit 3) instead of running anyway —
+# for watchers near a deadline where a forced capped-regime duo would
+# collide with other measurements rather than inform
+NORUN = os.environ.get("GATED_PAIR_NORUN_ON_TIMEOUT", "") == "1"
 POLL_S = 120
 
 
@@ -54,6 +58,10 @@ def main() -> None:
               f" waited {waited:.0f}s", flush=True)
         if ok or waited >= max_wait:
             if not ok:
+                if NORUN:
+                    print("gate timed out — NORUN mode, aborting without"
+                          " a run", flush=True)
+                    sys.exit(3)
                 print("gate timed out — running anyway; per-leg canaries"
                       " will disclose the regime", flush=True)
             break
