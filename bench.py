@@ -70,8 +70,12 @@ def canary(procs: int = 8, secs: float = 1.5) -> float:
 # never quiets down, the run proceeds anyway (the driver needs a
 # number) but the JSON carries contended=true + the canary ratio so
 # cross-round tables can exclude it.
-QUIET_CANARY = 7.0   # per-proc Miters/s, 8-proc bracket (BENCH/BASELINE.md)
-CANARY_GATE = 0.85   # >15% below quiet = a steal window, per r4 VERDICT
+# shared with tools/gated_pair.py via tools/steal_canary.py so the two
+# publication gates cannot drift apart when the host is re-baselined
+from tools.steal_canary import (          # noqa: E402
+    DEFAULT_GATE as CANARY_GATE,
+    QUIET_MITERS as QUIET_CANARY,
+)
 GATE_RETRIES = int(os.environ.get("SPARK_GRAFT_CANARY_RETRIES", "3"))
 GATE_WAIT_S = float(os.environ.get("SPARK_GRAFT_CANARY_WAIT_S", "45"))
 

@@ -23,6 +23,7 @@ import pandas as pd
 
 from document_parser_spark.config import COLUMN_GAP_FRACTION, Y_GAP_FACTOR
 from document_parser_spark.functions.cleaning import clean_and_fix_series
+from document_parser_spark.refparser.pdf import COORD_MAX_DIGITS
 from document_parser_spark.schema import FAIL_KIND
 
 
@@ -119,10 +120,10 @@ def parse_payloads(s: pd.Series):
     # 2^53 — to_numeric falls back to float64 whenever any row in the
     # batch coerces to NaN, and an integer above 2^53 would round here
     # while the oracle's arbitrary-precision int() keeps it exact
-    # (r4 ADVICE). Matches refparser.pdf's {1,15} digit cap.
+    # (r4 ADVICE). COORD_MAX_DIGITS is refparser.pdf's cap, shared.
     valid &= ~coords[[0, 1, 2, 3, 4]].apply(
         lambda c: c.str.replace(r"^[+-]", "", regex=True)
-                   .str.len().gt(15)).any(axis=1)
+                   .str.len().gt(COORD_MAX_DIGITS)).any(axis=1)
     cleaned = clean_and_fix_series(parts[2]).str.strip().to_numpy()
     return nums, valid.to_numpy(), cleaned
 
@@ -211,8 +212,9 @@ def _paged_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         valid line) — the downstream plan drops the doc's first one,
         reproducing the between-pages placement;
       * idx 0.. = the page's blocks in reading order;
-      * one kind='__fail__' row per malformed line (idx -2; ord1
-        becomes -1 downstream — fail rows are tallied and stripped by
+      * one kind='__fail__' row per malformed line (idx -2; downstream
+        maps each to a DISTINCT negative ord1 so the reassembly salt
+        spreads them — fail rows are tallied and stripped by
         reassembly, their relative order is irrelevant)."""
     from document_parser_spark.schema import FAIL_KIND as _FK
 
@@ -220,6 +222,11 @@ def _paged_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     anchor = int(pdf["anchor"].iloc[0])
     pg = pdf["page"].iloc[0]
     pg = None if pd.isna(pg) else int(pg)
+    # restore span order: groupBy delivers rows in shuffle-arrival
+    # order, but the layout sort breaks coordinate ties by input
+    # order, so the kernel must see lines exactly as the doc-level
+    # path does — in span-array order
+    pdf = pdf.sort_values("pos", kind="stable")
     nums, vmask, cleaned = parse_payloads(
         pdf["payload"].reset_index(drop=True))
     out = {"doc_id": [], "anchor": [], "page": [], "idx": [],
@@ -255,7 +262,10 @@ def pdf_branch_paged(lines_df):
     PER PAGE so a 10^5-page doc cannot pin one pandas group.
 
     ``lines_df``: exploded hot-doc pdf lines
-    (doc_id, anchor:int = min span offset of the doc's pdf family,
+    (doc_id, anchor:int = min span offset of the doc's pdf family
+    (0 when all NULL), pos:int = span-array position (the kernel
+    sorts its group by it — coordinate-tied lines must break ties in
+    span order, identically to the doc-level kernel),
     page:long = JVM regexp-extracted page field (NULL for lines whose
     page field already violates the grammar — those can only be
     malformed, so WHERE they land only affects which group tallies
@@ -264,7 +274,12 @@ def pdf_branch_paged(lines_df):
     Plan: groupBy (doc_id, page) -> applyInPandas per-page kernel ->
     one doc_id-partitioned window assigning the global reading order
     (ord1 = row_number over (page, idx) with fail rows sorted last and
-    pinned to ord1=-1) and dropping the doc's first page_break. Both
+    mapped to DISTINCT negatives — the reassembly salt is
+    pmod(hash(ord0, ord1), K), so a constant fail ord1 would pin every
+    malformed line of a hot doc into ONE salt bucket, exactly the
+    pathological doc this path exists for; the doc-level kernel
+    spreads fails as -(f+1) for the same reason) and dropping the
+    doc's first page_break. Both
     shuffles touch only the HOT docs' rows, and the second one carries
     parsed BLOCKS (joined text), not raw lines. ord1 values may have
     gaps after the page_break drop — reassembly only sorts by them."""
@@ -289,7 +304,7 @@ def pdf_branch_paged(lines_df):
         .select(
             "doc_id",
             F.col("anchor").cast("int").alias("ord0"),
-            F.when(is_fail, F.lit(-1)).otherwise(F.col("_rn") - 1)
+            F.when(is_fail, -F.col("_rn")).otherwise(F.col("_rn") - 1)
             .cast("int").alias("ord1"),
             "kind", "text", "media_ref",
         )

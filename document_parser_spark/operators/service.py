@@ -28,7 +28,8 @@ relation is a narrow map over the reassembled docs: no extra shuffle.
 from __future__ import annotations
 
 import hashlib
-from concurrent.futures import ThreadPoolExecutor
+import queue
+import threading
 from typing import Callable, Iterator, Sequence
 
 import pandas as pd
@@ -41,12 +42,22 @@ class BatchedService:
 
     ``fn``: the service — takes a list of payload strings, returns the
     same-length list of results. Called on chunks of ``batch_size``
-    payloads, at most ``concurrency`` chunks in flight (a thread pool
-    per task — requests overlap IO exactly like the reference's
-    concurrency=3 VLM slot). A chunk whose call raises or exceeds
-    ``timeout_s`` resolves to ``fallback`` for every payload in it and
-    is reported failed — the A4 posture (the reference splices a fixed
-    fallback string on OCR errors, image_parser.py:174-182).
+    payloads, at most ``concurrency`` chunks in flight (DAEMON worker
+    threads per call — requests overlap IO exactly like the
+    reference's concurrency=3 VLM slot, and a hung call can never
+    block Python-worker exit the way concurrent.futures' atexit join
+    would). A chunk whose call raises or exceeds ``timeout_s``
+    resolves to ``fallback`` for every payload in it and is reported
+    failed — the A4 posture (the reference splices a fixed fallback
+    string on OCR errors, image_parser.py:174-182).
+
+    Outage circuit-breaker: ``concurrency`` consecutive chunk
+    timeouts with no success in between means every lane is hung or
+    the service is down — the remaining chunks resolve to fallback
+    IMMEDIATELY instead of each burning its own ``timeout_s`` (an
+    Arrow batch can hold thousands of chunks; without the breaker one
+    outage turns a task into n_chunks x timeout_s of wall clock).
+    Worst-case wall for a full outage: ~concurrency x timeout_s.
     """
 
     def __init__(self, fn: Callable[[list[str]], Sequence[str]],
@@ -67,27 +78,56 @@ class BatchedService:
             return [], []
         chunks = [payloads[i:i + self.batch_size]
                   for i in range(0, len(payloads), self.batch_size)]
+        buf: list[Sequence[str] | None] = [None] * len(chunks)
+        done = [threading.Event() for _ in chunks]
+        todo: queue.SimpleQueue = queue.SimpleQueue()
+        for i in range(len(chunks)):
+            todo.put(i)
+        halted = threading.Event()
+
+        def worker() -> None:
+            while not halted.is_set():
+                try:
+                    i = todo.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    res = list(self.fn(chunks[i]))
+                    if len(res) != len(chunks[i]):
+                        raise ValueError("service returned wrong length")
+                    buf[i] = res
+                except Exception:
+                    buf[i] = None
+                done[i].set()
+
+        for _ in range(min(self.concurrency, len(chunks))):
+            threading.Thread(target=worker, daemon=True).start()
+
         results: list[str] = []
         ok: list[bool] = []
-        pool = ThreadPoolExecutor(max_workers=self.concurrency)
-        try:
-            futures = [pool.submit(self.fn, chunk) for chunk in chunks]
-            for chunk, fut in zip(chunks, futures):
-                try:
-                    res = list(fut.result(timeout=self.timeout_s))
-                    if len(res) != len(chunk):
-                        raise ValueError("service returned wrong length")
-                    results += res
-                    ok += [True] * len(chunk)
-                except Exception:
-                    fut.cancel()
-                    results += [self.fallback] * len(chunk)
-                    ok += [False] * len(chunk)
-        finally:
-            # never wait on a hung call at shutdown: the timed-out
-            # batch already resolved to fallback rows, and blocking
-            # here would turn a service hang into a task hang
-            pool.shutdown(wait=False, cancel_futures=True)
+        timeout_streak = 0
+        outage = False
+        for i, chunk in enumerate(chunks):
+            res = None
+            if not outage:
+                if done[i].wait(timeout=self.timeout_s):
+                    res = buf[i]
+                    timeout_streak = 0
+                else:
+                    # the worker holding this chunk is hung; it will
+                    # never pick another chunk, so `concurrency`
+                    # consecutive timeouts = every lane gone
+                    timeout_streak += 1
+                    if timeout_streak >= self.concurrency:
+                        outage = True
+                        halted.set()
+            if res is not None:
+                results += res
+                ok += [True] * len(chunk)
+            else:
+                results += [self.fallback] * len(chunk)
+                ok += [False] * len(chunk)
+        halted.set()
         return results, ok
 
 

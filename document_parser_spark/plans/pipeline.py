@@ -44,6 +44,7 @@ from document_parser_spark.functions.cleaning import (
     needs_python_column,
 )
 from document_parser_spark.operators.pdf_parse import pdf_branch
+from document_parser_spark.refparser.pdf import COORD_MAX_DIGITS
 from document_parser_spark.operators.reassemble import (
     _HOT_ID_CAP,
     DOC_MARKER_KIND,
@@ -282,16 +283,26 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False,
                 [(i,) for i in hot_ids], "doc_id string"))
             cold_pdf = pdf_docs.join(ids_df, "doc_id", "left_anti")
             hot_pdf = pdf_docs.join(ids_df, "doc_id", "left_semi")
-        anchor = F.array_min(
-            F.transform("spans", lambda s: s["offset"])).alias("anchor")
+        # anchor falls back to 0 for a doc whose pdf offsets are all
+        # NULL — the doc-level kernel's default (never-throw, A4)
+        anchor = F.coalesce(
+            F.array_min(F.transform("spans", lambda s: s["offset"])),
+            F.lit(0)).alias("anchor")
+        # posexplode: the span-array position rides along so the
+        # per-page kernel can restore SPAN order inside its group —
+        # groupBy shuffle arrival order is nondeterministic, and the
+        # layout sort breaks coordinate ties by input order, which
+        # must mean span order exactly as in the doc-level kernel
         lines = (hot_pdf.select(
             "doc_id", anchor,
-            F.explode(F.transform(
+            F.posexplode(F.transform(
                 "spans",
                 lambda s: F.coalesce(s["text"], F.lit(""))))
-            .alias("payload"))
+            .alias("pos", "payload"))
             .withColumn("page", F.regexp_extract(
-                "payload", r"^([+-]?[0-9]{1,15});", 1).try_cast("long")))
+                "payload",
+                r"^([+-]?[0-9]{1,%d});" % COORD_MAX_DIGITS,
+                1).try_cast("long")))
         pdf_rows = pdf_branch(cold_pdf).unionByName(pdf_branch_paged(lines))
     else:
         pdf_rows = pdf_branch(pdf_docs)
@@ -338,8 +349,15 @@ def extract(
     # size_bucket column (GIANT_SIZE_BUCKET flags docs above the span
     # threshold) — a dictionary-encoded string scan, no spans payload
     # re-measurement; it also carries the byte-derived html-expansion
-    # margin, which the count-only fallback deliberately omits (the
-    # one-giant-html-span shape is guarded by the ingest span cap).
+    # margin, which the count-only fallback deliberately omits. For an
+    # EXTERNAL table (no size_bucket, never went through ingest) that
+    # means a few-spans-but-multi-GB-payload doc is not flagged hot —
+    # accepted: salting cannot split a single span struct anyway (the
+    # giant-SPAN shape is bounded only by a spans/doc+bytes/span cap
+    # at ingest, SURVEY §7.3.4), and re-reading the payload column to
+    # estimate bytes is the full-corpus second scan r4 VERDICT #2
+    # removed. Route external tables through ingest_raw_text or add
+    # size_bucket upstream to get the byte margin back.
     hot_ids: list | None = None
     if salted and salt_threshold is not None:
         if "size_bucket" in df.columns:

@@ -35,7 +35,13 @@ class PdfLineError(ValueError):
     """Raised for a malformed pdf_line payload (-> parse_failure tally)."""
 
 
-_COORD_RE = re.compile(r"[+-]?[0-9]{1,15}\Z")
+# the ONE definition of the coordinate-magnitude grammar bound:
+# operators/pdf_parse.py (vectorized digit-length reject) and
+# plans/pipeline.py (paged-path page-field regexp) both import it, so
+# the three grammars cannot drift apart (values < 10^15 < 2^53 stay
+# exactly representable in the vectorized arm's float64 fallback)
+COORD_MAX_DIGITS = 15
+_COORD_RE = re.compile(r"[+-]?[0-9]{1,%d}\Z" % COORD_MAX_DIGITS)
 
 
 def parse_line(payload: str) -> tuple[int, int, int, int, int, str]:

@@ -170,8 +170,36 @@ def _high_lead_over_c8_share(raw: bytes) -> float:
     return over / n if n else 0.0
 
 
+def _adjacent_high_share(raw: bytes) -> float:
+    """Among high bytes (>= 0x80), the share with at least one high
+    NEIGHBOR. Genuine multi-byte East-Asian prose is built from
+    high-lead sequences whose trails are mostly high too (GB2312/EUC
+    always, Big5/Shift-JIS ~2/3), so contiguous CJK text reads
+    0.55-1.0 here; Western single-byte prose (cp1252 umlauts/accents
+    embedded in ASCII words) reads near 0 — its high bytes are
+    isolated. This is the structural gate that stops an accented
+    Western page from strict-decoding into wall-to-wall hanzi (each
+    accent byte + following ASCII letter is a valid GBK/Big5 pair, so
+    the decoded-script ratio alone cannot tell them apart)."""
+    if not raw:
+        return 0.0
+    n = hits = 0
+    for i, b in enumerate(raw):
+        if b >= 0x80:
+            n += 1
+            if ((i > 0 and raw[i - 1] >= 0x80)
+                    or (i + 1 < len(raw) and raw[i + 1] >= 0x80)):
+                hits += 1
+    return hits / n if n else 0.0
+
+
 def _detect_east_asian(raw: bytes) -> str | None:
     """Fixed-rule East-Asian detection; None when no rule fires.
+
+    Entry gate: the adjacent-high-byte share must look multi-byte
+    (see ``_adjacent_high_share``) — otherwise Western accented
+    single-byte text shadows into the near-total GB18030/Big5
+    grammars.
 
     Order: Japanese (full-width kana signature — an EUC stream read as
     shift-jis yields only HALF-width kana and vice-versa fails the
@@ -179,6 +207,8 @@ def _detect_east_asian(raw: bytes) -> str | None:
     (hangul), then Chinese with Big5-before-GB18030 when ASCII-range
     trails appear (GB18030 is near-total over byte pairs, so it must
     come last and behind absolute-count guards)."""
+    if _adjacent_high_share(raw) < 0.35:
+        return None
     for enc in ("shift_jis", "euc_jp"):
         t = _strict(raw, enc)
         if t is not None:

@@ -133,6 +133,25 @@ class TestToUtf8Bytes:
             assert detect_encoding(RU.encode(enc)) == enc
         assert detect_encoding(FR.encode("cp1252")) == "cp1252"
 
+    def test_east_asian_does_not_shadow_western_accents(self):
+        """Regression: an accent byte followed by an ASCII letter is a
+        VALID gb18030/big5 two-byte pair, so dense-umlaut German and
+        n-tilde Spanish cp1252 prose strict-decodes into wall-to-wall
+        hanzi and the decoded-script ratio reads 1.0 — only the
+        adjacent-high-byte structural gate keeps such pages out of the
+        EA branch (Western accents are isolated among ASCII; real
+        multi-byte text pairs its high bytes)."""
+        de = ("Über müde Väter hören schöne Töne während früher "
+              "Übungen König")
+        es = "El niño añade señales según el sueño de mañana, cariño"
+        for prose in (de, es):
+            raw = prose.encode("cp1252")
+            assert detect_encoding(raw) == "cp1252"
+            assert to_utf8_bytes(raw) == prose
+        # and the gate must NOT block genuine mixed ASCII+CJK prose
+        mixed = "Spark で動くテキスト抽出パイプラインのテストです。OK?"
+        assert detect_encoding(mixed.encode("shift_jis")) == "shift_jis"
+
 
 def test_ingest_raw_text_spark_roundtrip(spark):
     from document_parser_spark.plans.pipeline import extract

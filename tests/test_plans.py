@@ -284,6 +284,52 @@ def test_giant_pdf_doc_splits_per_page(spark):
         assert got[name].status == want.status, name
 
 
+def test_giant_pdf_coordinate_ties_break_in_span_order(spark):
+    """Regression: the paged path's groupBy delivers lines in
+    shuffle-arrival order, and the layout sort breaks coordinate ties
+    by input order — so without the posexplode position riding along,
+    coordinate-tied lines produced nondeterministic block text. Every
+    line here shares one (page, coords) cell; output must equal the
+    doc-level oracle (span order) exactly."""
+    from document_parser_spark.plans.pipeline import extract
+    from document_parser_spark.refparser.parse import parse_document
+
+    hot = [("pdf_line", f"1;1000;8000;9000;9000|tied {i}", "", i)
+           for i in range(150)]
+    df = spark.createDataFrame(
+        [("tied", hot)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    # many shuffle partitions maximize arrival-order scrambling
+    out = extract(df, salt_threshold=100).collect()[0]
+    want = parse_document("tied", hot)
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in out.spans] == want.spans
+    assert out.markdown == want.markdown
+
+
+def test_giant_pdf_all_null_offsets_does_not_throw(spark):
+    """Regression (A4 never-throw): a hot pdf doc whose span offsets
+    are all NULL made the paged kernel crash on int(NaN) anchor; the
+    doc-level kernel defaults the anchor to 0, and the paged path must
+    match it — same rows from both plan shapes, no task failure."""
+    from document_parser_spark.plans.pipeline import extract
+
+    spans = [("pdf_line", f"1;1000;{8000 - 100 * i};9000;"
+              f"{9000 - 100 * i}|line {i}", "", None)
+             for i in range(120)]
+    df = spark.createDataFrame(
+        [("nulloff", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    paged = extract(df, salt_threshold=100).collect()[0]
+    doc_level = extract(df, salt_threshold=10_000).collect()[0]
+    assert paged.status == doc_level.status == "ok"
+    assert [tuple(s) for s in paged.spans] == \
+        [tuple(s) for s in doc_level.spans]
+    assert paged.markdown == doc_level.markdown
+
+
 def test_ingest_flags_giant_bucket(spark):
     """ingest_raw_text derives size_bucket from raw byte length:
     ordinary docs 's', pathological ones 'g'."""

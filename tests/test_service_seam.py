@@ -113,6 +113,47 @@ def test_timeout_becomes_fallback_rows():
     assert ok == [False, True]
 
 
+def test_outage_circuit_breaker_bounds_wall_clock():
+    """A full outage (every call hangs) must cost ~concurrency x
+    timeout_s, NOT n_chunks x timeout_s — thousands of queued chunks
+    each burning a full timeout is the task-hang A4 exists to avoid."""
+    hang = threading.Event()   # never set: every call blocks forever
+
+    def fn(chunk):
+        hang.wait()
+        return chunk
+
+    svc = BatchedService(fn, batch_size=1, concurrency=3,
+                         timeout_s=0.2, fallback="<DOWN>")
+    t0 = time.monotonic()
+    results, ok = svc([f"p{i}" for i in range(50)])
+    wall = time.monotonic() - t0
+    assert results == ["<DOWN>"] * 50 and ok == [False] * 50
+    # 3 lanes x 0.2s timeout = breaker trips ~0.6s; 50 x 0.2s = 10s
+    # is the pathology; generous margin for scheduler noise
+    assert wall < 3.0
+
+
+def test_one_hung_lane_does_not_fail_healthy_chunks():
+    """A single hung worker holds exactly one chunk; the other lanes
+    must drain everything else successfully (the breaker only trips
+    on `concurrency` CONSECUTIVE timeouts with no success between)."""
+    hang = threading.Event()
+
+    def fn(chunk):
+        if chunk[0] == "stuck":
+            hang.wait()
+        return [c.upper() for c in chunk]
+
+    svc = BatchedService(fn, batch_size=1, concurrency=2,
+                         timeout_s=0.5, fallback="<T>")
+    payloads = ["stuck"] + [f"ok{i}" for i in range(20)]
+    results, ok = svc(payloads)
+    assert results[0] == "<T>" and ok[0] is False
+    assert results[1:] == [p.upper() for p in payloads[1:]]
+    assert all(ok[1:])
+
+
 def test_wrong_length_response_is_a_failure():
     svc = BatchedService(lambda chunk: ["only one"], batch_size=3,
                          fallback="<BAD>")

@@ -34,10 +34,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.steal_canary import canary
+from tools.steal_canary import DEFAULT_GATE, QUIET_MITERS, canary
 
-QUIET = 7.0
-GATE = float(os.environ.get("GATED_PAIR_GATE", "0.85"))
+QUIET = QUIET_MITERS
+GATE = float(os.environ.get("GATED_PAIR_GATE", str(DEFAULT_GATE)))
 # when set, a gate timeout aborts (exit 3) instead of running anyway —
 # for watchers near a deadline where a forced capped-regime duo would
 # collide with other measurements rather than inform

@@ -19,6 +19,13 @@ from __future__ import annotations
 
 import time
 
+# single source of truth for every publication gate that brackets a
+# measurement with this canary (bench.py, tools/gated_pair.py): the
+# quiet-host per-proc reference and the default contended threshold.
+# Re-baselining the host means editing THESE, not per-tool literals.
+QUIET_MITERS = 7.0
+DEFAULT_GATE = 0.85
+
 
 def burn(secs: float) -> int:
     t0 = time.time()
