@@ -48,18 +48,24 @@ def parse_sf(path: str) -> float:
     return float(base[2:]) if base.startswith("sf") else -1.0
 
 
-def canary(procs: int = 8, secs: float = 1.5) -> float:
+def canary(procs: int = 0, secs: float = 1.5) -> float:
     """Per-proc busy-loop Miters/s — the episodic-CPU-steal detector.
     The loop body is SHARED with tools/scaling_bench.py
-    (tools/steal_canary.py) so readings stay comparable across tools;
-    bench uses a quick 8-proc x 1.5 s bracket. Quiet-host baseline on
-    this box is ~7 per proc with all cores busy; a reading far below
-    means the surrounding numbers were measured during a hypervisor
-    steal burst (measured up to 10x task-time inflation) and should be
-    compared via min_total, not the medians."""
+    (tools/steal_canary.py) so readings stay comparable across tools.
+    The probe runs AT THE BENCH'S OWN WIDTH (CPUS procs, default 32),
+    not 8: this host's steal is an aggregate-cpu cap (~27
+    core-equivalents when it bites — BENCH/BASELINE.md round-4 notes
+    item 7), so an 8-wide probe fits under the cap and reads quiet
+    while the local[32] run itself is capped 25-45% slow (the
+    measured failure mode of tools/gated_pair.py's original 8-wide
+    gate, three times in round 5). Quiet-host baseline is ~7 per proc
+    with all cores busy (~6.7-7.0 at full 32-wide saturation vs ~5.9
+    capped); a reading far below means the surrounding numbers were
+    measured during a steal window (measured up to 10x task-time
+    inflation) and should be compared via min_total, not medians."""
     from tools.steal_canary import canary as probe
 
-    return probe(procs, secs)
+    return probe(procs or CPUS, secs)
 
 
 # Publication gate (r4 VERDICT "what's wrong" #1: BENCH_r04's headline
@@ -201,6 +207,7 @@ def main() -> None:
     canary_post = canary()
     ratio = round(min(canary_pre, canary_post) / QUIET_CANARY, 3)
     out["canary_miters"] = [canary_pre, canary_post]
+    out["canary_probe_procs"] = CPUS
     out["canary_quiet_ref"] = QUIET_CANARY
     out["canary_ratio"] = ratio
     out["contended"] = ratio < CANARY_GATE

@@ -138,7 +138,10 @@ def parse_pdf_batch(doc_ids: np.ndarray, spans_col) -> pd.DataFrame:
         anchor = None
         for sp in spans:
             off = sp["offset"]
-            if anchor is None or off < anchor:
+            # NULL offsets don't anchor (mixed NULL/non-NULL must not
+            # throw — A4 never-throw posture; matches the paged path's
+            # JVM F.min, which ignores NULLs and coalesces to 0)
+            if off is not None and (anchor is None or off < anchor):
                 anchor = off
             rows_doc.append(i)
             payloads.append(sp["text"] or "")

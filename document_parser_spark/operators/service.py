@@ -34,7 +34,10 @@ from typing import Callable, Iterator, Sequence
 
 import pandas as pd
 
-from document_parser_spark.operators.enrich import OCR_FALLBACK_TEXT
+from document_parser_spark.operators.enrich import (
+    OCR_FALLBACK_TEXT,
+    TRANSLATED_KINDS,
+)
 
 
 class BatchedService:
@@ -51,19 +54,29 @@ class BatchedService:
     failed — the A4 posture (the reference splices a fixed fallback
     string on OCR errors, image_parser.py:174-182).
 
-    Outage circuit-breaker: ``concurrency`` consecutive chunk
-    timeouts with no success in between means every lane is hung or
-    the service is down — the remaining chunks resolve to fallback
-    IMMEDIATELY instead of each burning its own ``timeout_s`` (an
-    Arrow batch can hold thousands of chunks; without the breaker one
-    outage turns a task into n_chunks x timeout_s of wall clock).
+    Outage circuit-breaker: as many consecutive chunk timeouts as
+    there are lanes with no success in between means every lane is
+    hung or the service is down — the remaining chunks resolve to
+    fallback IMMEDIATELY instead of each burning its own ``timeout_s``
+    (an Arrow batch can hold thousands of chunks; without the breaker
+    one outage turns a task into n_chunks x timeout_s of wall clock).
     Worst-case wall for a full outage: ~concurrency x timeout_s.
+
+    Hung-thread bound: abandoned workers (a timed-out ``fn`` call
+    never returning) stay alive inside a long-lived executor worker,
+    so a sustained outage across MANY calls must not accumulate one
+    wave of threads per call. The instance tracks its still-alive
+    spawned threads and refuses to spawn past ``max_hung_threads``
+    (default 4x concurrency): with no lane budget left a call resolves
+    straight to fallback (zero new threads, zero extra wall), and the
+    budget returns automatically when hung calls eventually die.
     """
 
     def __init__(self, fn: Callable[[list[str]], Sequence[str]],
                  batch_size: int = 32, concurrency: int = 3,
                  timeout_s: float = 30.0,
-                 fallback: str = OCR_FALLBACK_TEXT) -> None:
+                 fallback: str = OCR_FALLBACK_TEXT,
+                 max_hung_threads: int | None = None) -> None:
         if batch_size < 1 or concurrency < 1:
             raise ValueError("batch_size and concurrency must be >= 1")
         self.fn = fn
@@ -71,6 +84,18 @@ class BatchedService:
         self.concurrency = concurrency
         self.timeout_s = timeout_s
         self.fallback = fallback
+        self.max_hung_threads = (4 * concurrency if max_hung_threads is None
+                                 else max_hung_threads)
+        self._spawned: list[threading.Thread] = []
+
+    def __getstate__(self):
+        # the hung-thread ledger is per-process state: Thread objects
+        # don't pickle, and a service instance used driver-side first
+        # must still cloudpickle into a mapInPandas closure — each
+        # executor process starts with a fresh budget
+        state = self.__dict__.copy()
+        state["_spawned"] = []
+        return state
 
     def __call__(self, payloads: list[str]) -> tuple[list[str], list[bool]]:
         """-> (results, ok flags), positionally aligned with payloads."""
@@ -100,13 +125,23 @@ class BatchedService:
                     buf[i] = None
                 done[i].set()
 
-        for _ in range(min(self.concurrency, len(chunks))):
-            threading.Thread(target=worker, daemon=True).start()
+        # hung-thread budget: prune finished waves, then spawn only
+        # what fits under max_hung_threads (0 lanes = immediate-outage
+        # posture: everything below resolves to fallback without
+        # burning timeout_s, because no done[i] will ever be set and
+        # lanes == 0 trips the breaker on the first wait)
+        self._spawned = [t for t in self._spawned if t.is_alive()]
+        budget = max(0, self.max_hung_threads - len(self._spawned))
+        lanes = min(self.concurrency, len(chunks), budget)
+        for _ in range(lanes):
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            self._spawned.append(t)
 
         results: list[str] = []
         ok: list[bool] = []
         timeout_streak = 0
-        outage = False
+        outage = lanes == 0
         for i, chunk in enumerate(chunks):
             res = None
             if not outage:
@@ -115,10 +150,10 @@ class BatchedService:
                     timeout_streak = 0
                 else:
                     # the worker holding this chunk is hung; it will
-                    # never pick another chunk, so `concurrency`
+                    # never pick another chunk, so `lanes`
                     # consecutive timeouts = every lane gone
                     timeout_streak += 1
-                    if timeout_streak >= self.concurrency:
+                    if timeout_streak >= lanes:
                         outage = True
                         halted.set()
             if res is not None:
@@ -197,7 +232,9 @@ def _is_ocr_target(s, include_tables: bool) -> bool:
     return include_tables and s["kind"] == "table"
 
 
-_TRANSLATED = ("text", "heading", "list_item", "table")
+# the service twin must translate EXACTLY the kinds the column twin
+# does — shared constant, not a re-declaration that could drift
+_TRANSLATED = TRANSLATED_KINDS
 
 
 def translate_via_service(docs, service: BatchedService,

@@ -128,10 +128,19 @@ def _script_hits(text: str, ranges: tuple) -> tuple[float, int]:
     return hits / len(non_ascii), hits
 
 
-def _strict(raw: bytes, enc: str) -> str | None:
+def _strict(raw: bytes, enc: str, tail_slack: int = 0) -> str | None:
+    """Strict decode; ``tail_slack`` > 0 tolerates ONE error within
+    that many bytes of the end (a detection WINDOW sliced out of a
+    longer document can cut a multi-byte sequence at its edge — the
+    truncation must not fail an otherwise-valid grammar)."""
     try:
         return raw.decode(enc)
-    except UnicodeDecodeError:
+    except UnicodeDecodeError as e:
+        if tail_slack and e.start >= len(raw) - tail_slack:
+            try:
+                return raw[:e.start].decode(enc)
+            except UnicodeDecodeError:
+                return None
         return None
 
 
@@ -193,7 +202,31 @@ def _adjacent_high_share(raw: bytes) -> float:
     return hits / n if n else 0.0
 
 
-def _detect_east_asian(raw: bytes) -> str | None:
+# detection runs on a bounded window, never the whole payload: every
+# helper below is an interpreted per-byte scan, and _detect_east_asian
+# adds up to five strict decodes — O(doc) work per doc on the ingest
+# hot path for a statistic that converges within a few KB (chardet
+# samples a bounded prefix for the same reason). 64 KiB keeps the
+# worst-case per-doc detection cost fixed at ~ms regardless of
+# payload size, and the rules stay deterministic (pure function of
+# the window bytes).
+DETECT_WINDOW_BYTES = 65536
+_FIRST_HIGH_RE = re.compile(rb"[\x80-\xff]")
+
+
+def _detect_window(raw: bytes) -> tuple[bytes, bool]:
+    """-> (window, truncated). The window starts at the doc start or
+    >= 16 ASCII bytes before the FIRST high byte (C-speed regex scan),
+    so its left edge can never split a multi-byte sequence; the right
+    edge may, which is why truncated windows get decode tail-slack."""
+    if len(raw) <= DETECT_WINDOW_BYTES:
+        return raw, False
+    m = _FIRST_HIGH_RE.search(raw)
+    start = max(0, (m.start() if m else 0) - 16)
+    return raw[start:start + DETECT_WINDOW_BYTES], True
+
+
+def _detect_east_asian(raw: bytes, truncated: bool = False) -> str | None:
     """Fixed-rule East-Asian detection; None when no rule fires.
 
     Entry gate: the adjacent-high-byte share must look multi-byte
@@ -207,10 +240,11 @@ def _detect_east_asian(raw: bytes) -> str | None:
     (hangul), then Chinese with Big5-before-GB18030 when ASCII-range
     trails appear (GB18030 is near-total over byte pairs, so it must
     come last and behind absolute-count guards)."""
+    slack = 4 if truncated else 0
     if _adjacent_high_share(raw) < 0.35:
         return None
     for enc in ("shift_jis", "euc_jp"):
-        t = _strict(raw, enc)
+        t = _strict(raw, enc, slack)
         if t is not None:
             ratio, hits = _script_hits(t, _KANA)
             if ratio > 0.2 and hits >= 4:
@@ -220,7 +254,7 @@ def _detect_east_asian(raw: bytes) -> str | None:
     # hangul, so the grammar+script test alone cannot separate the
     # two — the row-range share can (see _high_lead_over_c8_share).
     if _high_lead_over_c8_share(raw) <= 0.1:
-        t = _strict(raw, "euc_kr")
+        t = _strict(raw, "euc_kr", slack)
         if t is not None:
             ratio, hits = _script_hits(t, _HANGUL)
             if ratio > 0.5 and hits >= 4:
@@ -228,7 +262,7 @@ def _detect_east_asian(raw: bytes) -> str | None:
     order = (("big5", "gb18030") if _ascii_trail_share(raw) > 0.05
              else ("gb18030", "big5"))
     for enc in order:
-        t = _strict(raw, enc)
+        t = _strict(raw, enc, slack)
         if t is not None:
             ratio, hits = _script_hits(t, _HAN)
             if ratio > 0.7 and hits >= 8:
@@ -248,6 +282,9 @@ def detect_encoding(raw: bytes) -> str | None:
     2b. East-Asian multi-byte families (shift-jis / euc-jp / gb18030 /
        big5 / euc-kr): strict-decode grammar + decoded-script
        thresholds, see ``_detect_east_asian``.
+    Steps 2b-3 read a bounded DETECT_WINDOW_BYTES window anchored just
+    before the first high byte (``_detect_window``), never the whole
+    payload — detection stays O(1) per doc however large the text.
     3. Single-byte codecs by high-byte statistics. The discriminator
        is high-byte DENSITY, not range (Cyrillic and Western accented
        letters share 0xC0-0xFF): Cyrillic prose is almost entirely
@@ -276,11 +313,12 @@ def detect_encoding(raw: bytes) -> str | None:
             return "utf-16-le"
         if even_nul > 0.25 and odd_nul < 0.05:
             return "utf-16-be"
-    letters = [b for b in raw if b not in b" \t\r\n.,;:!?0123456789"]
-    high = [b for b in raw if b >= 0x80]
+    win, truncated = _detect_window(raw)
+    letters = [b for b in win if b not in b" \t\r\n.,;:!?0123456789"]
+    high = [b for b in win if b >= 0x80]
     if not high:
         return None
-    ea = _detect_east_asian(raw)
+    ea = _detect_east_asian(win, truncated)
     if ea is not None:
         return ea
     density = len(high) / max(len(letters), 1)

@@ -152,6 +152,36 @@ class TestToUtf8Bytes:
         mixed = "Spark で動くテキスト抽出パイプラインのテストです。OK?"
         assert detect_encoding(mixed.encode("shift_jis")) == "shift_jis"
 
+    def test_detection_window_bounds_large_docs(self):
+        """Detection reads a bounded window, not the whole payload
+        (an interpreted per-byte scan over a 10 MB doc on the ingest
+        hot path would cost seconds per doc) — and the window must
+        not change the verdict: it anchors just before the FIRST high
+        byte (so a long ASCII preamble can't hide the interesting
+        bytes) and a right-edge cut mid-multi-byte-pair gets decode
+        tail-slack instead of failing the strict grammar."""
+        from document_parser_spark.refparser.textkernel import (
+            DETECT_WINDOW_BYTES,
+        )
+
+        big = DETECT_WINDOW_BYTES * 2
+        # 2-byte codecs whose window edge can split a pair
+        for text, enc in ((RU, "cp1251"), (JA, "shift_jis"),
+                          (KO, "euc_kr"), (ZH_S, "gb18030"),
+                          (ZH_T, "big5")):
+            raw = (text + " ") * (big // len(text.encode(enc)) + 1)
+            raw = raw.encode(enc)
+            assert len(raw) > DETECT_WINDOW_BYTES
+            assert detect_encoding(raw) == enc
+            assert to_utf8_bytes(raw) == raw.decode(enc)
+        # long ASCII preamble, high bytes only past the window size
+        late = b"ascii preamble. " * (big // 16) + RU.encode("cp1251")
+        assert detect_encoding(late) == "cp1251"
+        # pathological: one stray high byte then megabytes of ASCII
+        # resolves via the sparse-accent cp1252 rule at bounded cost
+        junk = b"\xff" + b"a" * (big * 4)
+        assert to_utf8_bytes(junk) == "ÿ" + "a" * (big * 4)
+
 
 def test_ingest_raw_text_spark_roundtrip(spark):
     from document_parser_spark.plans.pipeline import extract

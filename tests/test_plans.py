@@ -330,6 +330,31 @@ def test_giant_pdf_all_null_offsets_does_not_throw(spark):
     assert paged.markdown == doc_level.markdown
 
 
+def test_pdf_mixed_null_offsets_does_not_throw(spark):
+    """Regression (A4 never-throw): a NON-NULL offset followed by a
+    NULL one crashed the DOC-LEVEL kernel's anchor scan (None < int
+    TypeError -> task failure) while the paged path — whose JVM F.min
+    ignores NULLs — returned ok for the same doc. Both plan shapes
+    must agree: NULL offsets don't anchor, and the anchor falls back
+    to the min of the non-NULL ones."""
+    from document_parser_spark.plans.pipeline import extract
+
+    spans = [("pdf_line", f"1;1000;{8000 - 100 * i};9000;"
+              f"{9000 - 100 * i}|line {i}", "",
+              7 if i == 0 else None)
+             for i in range(120)]
+    df = spark.createDataFrame(
+        [("mixoff", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    paged = extract(df, salt_threshold=100).collect()[0]
+    doc_level = extract(df, salt_threshold=10_000).collect()[0]
+    assert paged.status == doc_level.status == "ok"
+    assert [tuple(s) for s in paged.spans] == \
+        [tuple(s) for s in doc_level.spans]
+    assert paged.markdown == doc_level.markdown
+
+
 def test_ingest_flags_giant_bucket(spark):
     """ingest_raw_text derives size_bucket from raw byte length:
     ordinary docs 's', pathological ones 'g'."""

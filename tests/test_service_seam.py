@@ -154,6 +154,62 @@ def test_one_hung_lane_does_not_fail_healthy_chunks():
     assert all(ok[1:])
 
 
+def test_sustained_outage_bounds_hung_threads():
+    """A sustained outage across MANY calls must not leak one wave of
+    abandoned worker threads per call in a long-lived executor worker
+    (thread-stack memory + OS thread limits -> the 'can't start new
+    thread' task failure A4 exists to avoid). The instance's live
+    spawned threads stay capped at max_hung_threads, calls past the
+    budget resolve to fallback IMMEDIATELY (no timeout_s burn), and a
+    later recovery restores service through the same instance."""
+    hang = threading.Event()
+
+    def fn(chunk):
+        if not hang.is_set():
+            hang.wait()
+        return [c.upper() for c in chunk]
+
+    svc = BatchedService(fn, batch_size=1, concurrency=3,
+                         timeout_s=0.1, fallback="<DOWN>")
+    before = threading.active_count()
+    for _ in range(10):                      # 10 calls x 3 lanes
+        results, ok = svc(["a", "b", "c", "d"])
+        assert results == ["<DOWN>"] * 4 and ok == [False] * 4
+    alive = [t for t in svc._spawned if t.is_alive()]
+    assert len(alive) <= svc.max_hung_threads == 12
+    assert threading.active_count() - before <= svc.max_hung_threads
+    # budget exhausted -> zero-lane calls are immediate, not timeout_s
+    t0 = time.monotonic()
+    results, ok = svc([f"p{i}" for i in range(100)])
+    assert results == ["<DOWN>"] * 100 and not any(ok)
+    assert time.monotonic() - t0 < 0.5
+    # service recovers: hung threads drain, the budget returns
+    hang.set()
+    for t in alive:
+        t.join(timeout=5.0)
+    results, ok = svc(["x", "y"])
+    assert results == ["X", "Y"] and all(ok)
+
+
+def test_used_instance_still_pickles_into_a_plan():
+    """A service called driver-side first holds live Thread objects in
+    its hung-thread ledger; it must still cloudpickle into a
+    mapInPandas closure (the ledger is per-process state — each
+    executor starts with a fresh budget)."""
+    from pyspark import cloudpickle
+
+    def fn(chunk):                          # picklable (no captured
+        time.sleep(20)                      # locks) but slow enough to
+        return chunk                        # leave its threads alive
+
+    svc = BatchedService(fn, batch_size=1, concurrency=2, timeout_s=0.1)
+    svc(["a", "b"])                         # leaves 2 hung threads
+    assert any(t.is_alive() for t in svc._spawned)
+    clone = cloudpickle.loads(cloudpickle.dumps(svc))
+    assert clone._spawned == []
+    assert clone.max_hung_threads == svc.max_hung_threads
+
+
 def test_wrong_length_response_is_a_failure():
     svc = BatchedService(lambda chunk: ["only one"], batch_size=3,
                          fallback="<BAD>")

@@ -41,7 +41,8 @@ GATE = float(os.environ.get("GATED_PAIR_GATE", str(DEFAULT_GATE)))
 # when set, a gate timeout aborts (exit 3) instead of running anyway —
 # for watchers near a deadline where a forced capped-regime duo would
 # collide with other measurements rather than inform
-NORUN = os.environ.get("GATED_PAIR_NORUN_ON_TIMEOUT", "") == "1"
+NORUN = (os.environ.get("GATED_PAIR_NORUN_ON_TIMEOUT", "").strip().lower()
+         not in ("", "0", "false", "no"))
 POLL_S = 120
 
 
