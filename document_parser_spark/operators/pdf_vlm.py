@@ -40,7 +40,10 @@ def parse_vlm_batch(doc_ids: np.ndarray, spans_col) -> pd.DataFrame:
         payloads = []
         for sp in spans:
             off = sp["offset"]
-            if anchor is None or off < anchor:
+            # NULL offsets never anchor (mixed NULL/non-NULL must not
+            # throw — A4 never-throw posture; same fix as the layout
+            # kernel's anchor scan in pdf_parse.parse_pdf_batch)
+            if off is not None and (anchor is None or off < anchor):
                 anchor = off
             payloads.append(sp["text"] or "")
         anchor = int(anchor) if anchor is not None else 0

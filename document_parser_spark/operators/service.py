@@ -203,13 +203,19 @@ def ocr_via_service(docs, service: BatchedService,
                 continue
             payloads: list[str] = []
             for spans in pdf[spans_col]:
-                for s in spans:
+                # NULL spans arrays pass through untouched, exactly
+                # like the column twin (F.transform(NULL) is NULL) —
+                # never-throw parity on the same input
+                for s in (spans if spans is not None else ()):
                     if _is_ocr_target(s, include_tables):
                         payloads.append(s["media_ref"] or s["text"] or "")
             results, _ok = service(payloads)
             it = iter(results)
             new_col = []
             for spans in pdf[spans_col]:
+                if spans is None:
+                    new_col.append(None)
+                    continue
                 out = []
                 for s in spans:
                     out.append({f: s[f] for f in fields})
@@ -248,15 +254,25 @@ def translate_via_service(docs, service: BatchedService,
             if pdf.empty:
                 continue
             # NULL text passes through untranslated, exactly like the
-            # column twin (F.upper(NULL) is NULL)
+            # column twin (F.upper(NULL) is NULL); NULL spans arrays
+            # pass through whole (F.transform(NULL) is NULL)
             payloads = [s["text"] for spans in pdf[spans_col]
-                        for s in spans
+                        for s in (spans if spans is not None else ())
                         if s["kind"] in _TRANSLATED
                         and s["text"] is not None]
-            results, _ok = service(payloads)
-            it = iter(results)
+            results, ok = service(payloads)
+            # translation failure KEEPS THE SOURCE TEXT — the correct
+            # A4 fallback for an in-place rewrite is pass-through, not
+            # the service's fixed fallback string (which is OCR-error
+            # prose and would DESTROY the span text); the ok flags say
+            # which chunks resolved to the fallback
+            fixed = [r if k else p for r, k, p in zip(results, ok, payloads)]
+            it = iter(fixed)
             new_col = []
             for spans in pdf[spans_col]:
+                if spans is None:
+                    new_col.append(None)
+                    continue
                 out = []
                 for s in spans:
                     d = {f: s[f] for f in fields}

@@ -47,6 +47,7 @@ from document_parser_spark.operators.pdf_parse import pdf_branch
 from document_parser_spark.refparser.pdf import COORD_MAX_DIGITS
 from document_parser_spark.operators.reassemble import (
     _HOT_ID_CAP,
+    _ISIN_MAX,
     DOC_MARKER_KIND,
     reassemble,
 )
@@ -184,7 +185,9 @@ def _python_parse_branch(src: DataFrame) -> DataFrame:
 
 
 def parse_all_branches(df: DataFrame, pdf_vlm: bool = False,
-                       hot_ids: list | None = None) -> DataFrame:
+                       hot_ids: list | None = None,
+                       hot_overflow: bool = False,
+                       salt_threshold: int | None = None) -> DataFrame:
     """Input docs -> union of parsed rows (PARSED_SCHEMA), reading the
     spans payload in THREE passes total (JVM arm, Python arm, pdf arm —
     see module docstring). ``pdf_vlm`` selects the VLM whole-doc PDF
@@ -196,7 +199,17 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False,
     parse path (pdf_branch_paged) so a pathological page count cannot
     pin one pandas group — at the cost of one extra pdf-subtree scan
     paid ONLY when giants exist (the common no-giants plan keeps its
-    3+1 scans)."""
+    3+1 scans).
+
+    ``hot_overflow``: True when extract's probe hit _HOT_ID_CAP — the
+    collected subset is a TRUNCATED, unordered sample, so routing by
+    it would leave an arbitrary complement of the giants on the
+    doc-level kernel (the OOM the split exists to prevent). The pdf
+    fork then routes by an IN-PLAN predicate instead of an id list:
+    ingest's ``size_bucket`` when present, else pdf-line count >
+    ``salt_threshold``. Either kernel yields identical rows (parity-
+    tested), so the predicate only has to be a sound giant test, not
+    equal to the reassembly hot set."""
     exploded = explode_spans(df, exclude_pdf=True)
 
     # Blank test (F8): the reference's `if not text.strip()` — Python
@@ -262,19 +275,30 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False,
     pdf_docs = (
         df.filter(F.exists("spans", lambda s: s["kind"] == "pdf_line"))
         .select("doc_id",
-                F.filter("spans", lambda s: s["kind"] == "pdf_line").alias("spans"))
+                F.filter("spans", lambda s: s["kind"] == "pdf_line").alias("spans"),
+                *(["size_bucket"] if "size_bucket" in df.columns else []))
     )
     if pdf_vlm:
         from document_parser_spark.operators.pdf_vlm import pdf_vlm_branch
-        pdf_rows = pdf_vlm_branch(pdf_docs)
+        pdf_rows = pdf_vlm_branch(pdf_docs.select("doc_id", "spans"))
         # (the VLM parser concatenates whole pages — a giant doc fails
         # its raises_on_error contract long before pandas memory does,
         # so no per-page fork here)
-    elif hot_ids:
+    elif hot_ids or hot_overflow:
         from document_parser_spark.operators.pdf_parse import (
             pdf_branch_paged,
         )
-        if len(hot_ids) <= 1024:
+        if hot_overflow:
+            # truncated id sample — route by predicate (docstring)
+            if "size_bucket" in df.columns:
+                is_hot = F.col("size_bucket") == GIANT_SIZE_BUCKET
+            else:
+                is_hot = F.size("spans") > int(
+                    salt_threshold if salt_threshold is not None
+                    else SALT_SPAN_THRESHOLD)
+            cold_pdf = pdf_docs.filter(~is_hot)
+            hot_pdf = pdf_docs.filter(is_hot)
+        elif len(hot_ids) <= _ISIN_MAX:
             is_hot = F.col("doc_id").isin(list(hot_ids))
             cold_pdf = pdf_docs.filter(~is_hot)
             hot_pdf = pdf_docs.filter(is_hot)
@@ -283,6 +307,8 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False,
                 [(i,) for i in hot_ids], "doc_id string"))
             cold_pdf = pdf_docs.join(ids_df, "doc_id", "left_anti")
             hot_pdf = pdf_docs.join(ids_df, "doc_id", "left_semi")
+        cold_pdf = cold_pdf.select("doc_id", "spans")
+        hot_pdf = hot_pdf.select("doc_id", "spans")
         # anchor falls back to 0 for a doc whose pdf offsets are all
         # NULL — the doc-level kernel's default (never-throw, A4)
         anchor = F.coalesce(
@@ -305,7 +331,7 @@ def parse_all_branches(df: DataFrame, pdf_vlm: bool = False,
                 1).try_cast("long")))
         pdf_rows = pdf_branch(cold_pdf).unionByName(pdf_branch_paged(lines))
     else:
-        pdf_rows = pdf_branch(pdf_docs)
+        pdf_rows = pdf_branch(pdf_docs.select("doc_id", "spans"))
 
     # presence marker: exactly one per input doc, stripped during reassembly
     marker_rows = df.select(
@@ -367,7 +393,15 @@ def extract(
         else:
             hot_df = _hot_docs_fallback(df, salt_threshold)
         hot_ids = [r[0] for r in hot_df.limit(_HOT_ID_CAP + 1).collect()]
-    parsed = parse_all_branches(df, pdf_vlm=pdf_vlm, hot_ids=hot_ids)
+    # past the cap the collected list is a truncated unordered sample:
+    # reassemble falls back to unconditional two-phase, and the pdf
+    # fork must route by predicate, not by the sample (else the giants
+    # outside it keep the whole-doc kernel the split protects against)
+    hot_overflow = hot_ids is not None and len(hot_ids) > _HOT_ID_CAP
+    parsed = parse_all_branches(
+        df, pdf_vlm=pdf_vlm,
+        hot_ids=None if hot_overflow else hot_ids,
+        hot_overflow=hot_overflow, salt_threshold=salt_threshold)
     docs = reassemble(parsed, salt_buckets=salt_buckets, salted=salted,
                       salt_threshold=salt_threshold, hot_ids=hot_ids)
     if parse_images:

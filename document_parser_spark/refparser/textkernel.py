@@ -179,6 +179,38 @@ def _high_lead_over_c8_share(raw: bytes) -> float:
     return over / n if n else 0.0
 
 
+# Second line of defense for the EUC-KR-vs-GB split: the row-range
+# share (above) reads 0 whenever the hanzi sit ENTIRELY in GB rows
+# B0-C8 (pinyin initials a-r) — and every such pair strict-decodes
+# into hangul, so grammar + script + row-range all agree on the wrong
+# answer (e.g. 大家好, leads B4/BC/BA, decodes to hangul mojibake).
+# Genuine Korean prose is dominated by a small closed set of
+# particle / copula / ending syllables, while GB-as-hangul mojibake
+# scatters ~uniformly over the 2,350-syllable KS X 1001 block
+# (expected frequent-share ~ |set|/2350 ~= 4%; measured: Korean prose
+# 0.57-0.83, mojibake 0.0-0.33). Same stopword-style fixed rule as
+# the lang-id kernel — deterministic, no frequency tables at runtime.
+_FREQ_HANGUL = frozenset(
+    "이다의에는을하고를은가지서기아어사대나도로시인한보주일있그니수"
+    "전자스만게해제요무라와부정국상들년것등우리여동중면내성학소장세"
+    "과되않없말안며음터습까네좋날씨계데든번때왜누구집생각"
+)
+_FREQ_HANGUL_MIN_CHARS = 8
+_FREQ_HANGUL_SHARE = 0.4
+
+
+def _korean_confirms(text: str) -> bool:
+    """Frequent-syllable confirmation; vacuously true below the
+    minimum sample size (no statistic separates the codecs on a few
+    syllables — the row-range gate is the best available evidence
+    there, preserving the pre-round-5 behavior)."""
+    syl = [c for c in text if 0xAC00 <= ord(c) <= 0xD7A3]
+    if len(syl) < _FREQ_HANGUL_MIN_CHARS:
+        return True
+    freq = sum(1 for c in syl if c in _FREQ_HANGUL)
+    return freq / len(syl) >= _FREQ_HANGUL_SHARE
+
+
 def _adjacent_high_share(raw: bytes) -> float:
     """Among high bytes (>= 0x80), the share with at least one high
     NEIGHBOR. Genuine multi-byte East-Asian prose is built from
@@ -257,7 +289,10 @@ def _detect_east_asian(raw: bytes, truncated: bool = False) -> str | None:
         t = _strict(raw, "euc_kr", slack)
         if t is not None:
             ratio, hits = _script_hits(t, _HANGUL)
-            if ratio > 0.5 and hits >= 4:
+            # _korean_confirms: rows-B0-C8-only hanzi decode into
+            # hangul too, so the script test alone misroutes e.g.
+            # 大家好 — see _FREQ_HANGUL notes
+            if ratio > 0.5 and hits >= 4 and _korean_confirms(t):
                 return "euc_kr"
     order = (("big5", "gb18030") if _ascii_trail_share(raw) > 0.05
              else ("gb18030", "big5"))

@@ -125,6 +125,21 @@ class TestToUtf8Bytes:
         mixed = "Spark 分散式文字抽取管道的測試句子 OK"
         assert to_utf8_bytes(mixed.encode("big5")) == mixed
 
+    def test_low_row_hanzi_not_misrouted_to_euc_kr(self):
+        """Regression: GB pairs whose leads all sit in rows B0-C8
+        (pinyin initials a-r, e.g. 大家好) strict-decode into hangul
+        AND read 0 on the row-range share, so grammar + script +
+        row-range agreed on euc_kr and the text decoded to hangul
+        mojibake. The frequent-syllable confirmation must route such
+        text to gb18030 (Korean prose is dominated by a small closed
+        particle/ending set; GB-as-hangul mojibake scatters over the
+        whole 2,350-syllable block)."""
+        for zh in ("大家好" * 10,
+                   "阿爸看见佛法宝贝和平非常高兴大家可以合作"):
+            raw = zh.encode("gb2312")
+            assert detect_encoding(raw) == "gb18030"
+            assert to_utf8_bytes(raw) == zh
+
     def test_east_asian_does_not_shadow_cyrillic(self):
         """The EA branch runs BEFORE the single-byte stats: Cyrillic
         prose must still route to its codec (odd-length words break

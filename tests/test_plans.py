@@ -468,3 +468,56 @@ def test_shuffle_order_bounded_window(spark):
     assert "BroadcastHashJoin" in p, p
     assert "partitionBy=[bucket" in p.replace(" ", "") or \
         "hashpartitioning(bucket" in p, p
+
+
+def test_vlm_mixed_null_offsets_does_not_throw(spark):
+    """Regression (A4 never-throw): the VLM twin of the layout
+    kernel's anchor scan had the same None < int crash on a non-NULL
+    offset followed by a NULL one; NULL offsets never anchor, the
+    anchor falls back to the min of the non-NULL ones."""
+    from document_parser_spark.plans.pipeline import extract
+
+    spans = [("pdf_line", f"1;1000;{8000 - 100 * i};9000;"
+              f"{9000 - 100 * i}|line {i}", "",
+              7 if i == 0 else None)
+             for i in range(6)]
+    df = spark.createDataFrame(
+        [("vlmmix", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = extract(df, pdf_vlm=True).collect()[0]
+    assert out.status == "ok"
+    assert out.spans[0]["offset"] == 0
+
+
+def test_hot_overflow_routes_pdf_fork_by_predicate(spark, monkeypatch):
+    """Past _HOT_ID_CAP the collected hot-id list is a truncated,
+    unordered sample — routing the pdf fork by it left the giants
+    outside the sample on the whole-doc kernel (the OOM the per-page
+    split exists to prevent). On overflow the fork must route by the
+    in-plan predicate instead, page-splitting EVERY giant, with rows
+    equal to the doc-level oracle."""
+    from document_parser_spark.plans import pipeline
+    from document_parser_spark.refparser.parse import parse_document
+
+    monkeypatch.setattr(pipeline, "_HOT_ID_CAP", 1)
+
+    def giant(name):
+        return (name, [("pdf_line",
+                        f"{1 + ln // 40};1000;{90000 - (ln % 40) * 1400};"
+                        f"30000;{91000 - (ln % 40) * 1400}|{name} l{ln}",
+                        "", ln) for ln in range(120)])
+
+    rows = [giant("g1"), giant("g2"), giant("g3"),
+            ("cold", [("pdf_line", "1;1000;8000;9000;9000|cold", "", 0)])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    out_df = pipeline.extract(df, salt_threshold=100)
+    assert "FlatMapGroupsInPandas" in plan(out_df, mode="simple")
+    got = {r.doc_id: r for r in out_df.collect()}
+    for name, spans in rows:
+        want = parse_document(name, spans)
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in got[name].spans] == want.spans, name
+        assert got[name].markdown == want.markdown, name

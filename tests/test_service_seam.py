@@ -233,3 +233,50 @@ def test_failing_service_through_spark_is_rows(spark):
                  if s[0] == "text" and s[1] == OCR_FALLBACK_TEXT]
     assert len(ocr_texts) == 4        # 3 images + 1 table
     assert len(out["d1"]) == 6 and len(out["d3"]) == 1
+
+
+def test_translate_failure_preserves_source_text(spark):
+    """A failed/timed-out translate batch must KEEP the original span
+    text — the in-place rewrite's A4 fallback is pass-through, never
+    the service's fixed fallback string (which is OCR-error prose and
+    would destroy the document text)."""
+    def fn(chunk):
+        if any("boom" in c for c in chunk):
+            raise RuntimeError("translator down")
+        return [c.upper() for c in chunk]
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "boom sentence", "", 0),
+                 ("text", "clean sentence", "", 1),
+                 ("image", "", "m://x", 2)])], SPAN_SCHEMA)
+    got = _spans(translate_via_service(
+        docs, BatchedService(fn, batch_size=1)))
+    assert got["d1"] == [("text", "boom sentence", "", 0),
+                         ("text", "CLEAN SENTENCE", "", 1),
+                         ("image", "", "m://x", 2)]
+
+
+def test_null_spans_pass_through_both_seams(spark):
+    """A NULL spans array passes through whole, exactly like the
+    column twins (F.transform(NULL) is NULL) — never-throw parity on
+    the same input."""
+    from document_parser_spark.operators.enrich import (
+        insert_ocr_after_images,
+        translate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [("dnull", None),
+         ("d1", [("image", "", "m://a", 0),
+                 ("text", "hello", "", 1)])], SPAN_SCHEMA)
+    for seam, twin in (
+            (lambda d: ocr_via_service(
+                d, BatchedService(ocr_service_fn)),
+             insert_ocr_after_images),
+            (lambda d: translate_via_service(
+                d, BatchedService(translate_service_fn)),
+             translate_spans)):
+        got = {r.doc_id: r.spans for r in seam(docs).collect()}
+        want = {r.doc_id: r.spans for r in twin(docs).collect()}
+        assert got["dnull"] is None and want["dnull"] is None
+        assert got == want
