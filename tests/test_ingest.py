@@ -148,6 +148,29 @@ class TestToUtf8Bytes:
             assert detect_encoding(RU.encode(enc)) == enc
         assert detect_encoding(FR.encode("cp1252")) == "cp1252"
 
+    def test_even_run_cyrillic_not_misrouted_east_asian(self):
+        """Pure-upper-range pre-gate regression (round-5 soak): when
+        EVERY high-byte word has even length, no dangling lead breaks
+        the EUC/GB grammars and the bytes strict-decode into plausible
+        hanzi — but all cp1251/koi8 letters sit at >= 0xC0, a range no
+        genuine East-Asian page's lead rows occupy, so the gate keeps
+        the window away from the EA branch entirely."""
+        # every word even-length: the run-parity defense is blind here
+        even_ru = "словоб пара тексты делода водара"
+        for enc in ("cp1251", "koi8_r"):
+            raw = even_ru.encode(enc)
+            assert all(b >= 0xC0 for b in raw if b >= 0x80)
+            assert detect_encoding(raw) == enc, enc
+        # and the gate must NOT block genuine East-Asian text: common
+        # lead rows all sit below 0xC0, so the all->=C0 predicate is
+        # false for every real EA fixture
+        for enc, s in (("gb18030", ZH_S), ("big5", ZH_T),
+                       ("euc_kr", KO), ("shift_jis", JA),
+                       ("euc_jp", JA)):
+            raw = s.encode(enc)
+            assert not all(b >= 0xC0 for b in raw if b >= 0x80)
+            assert detect_encoding(raw) == enc, enc
+
     def test_east_asian_does_not_shadow_western_accents(self):
         """Regression: an accent byte followed by an ASCII letter is a
         VALID gb18030/big5 two-byte pair, so dense-umlaut German and
