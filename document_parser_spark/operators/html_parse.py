@@ -51,8 +51,8 @@ _BLOCK_TAGS = frozenset({
 _RUN_KINDS = ("text", "heading", "list_item")
 
 # frame effect codes
-_F_PLAIN, _F_DROP, _F_PRE, _F_LINK, _F_TABLE, _F_CELL, _F_INNER_TBL, _F_CONT = \
-    range(8)
+(_F_PLAIN, _F_DROP, _F_PRE, _F_LINK, _F_TABLE, _F_CELL, _F_INNER_TBL,
+ _F_CONT, _F_TR, _F_TBL_MISC) = range(10)
 
 
 class _FlatEmitter(HTMLParser):
@@ -72,6 +72,7 @@ class _FlatEmitter(HTMLParser):
         self.drop_depth = 0
         self.pre_depth = 0
         self.link_depth = 0
+        self.link_save: list[int] = []  # suspended link ctx per barrier
         self.code_buf: list[str] = []
         self.tables: list[dict] = []                 # open-table frames
         self.cur_chunks: list[tuple[str, bool]] = []
@@ -95,7 +96,12 @@ class _FlatEmitter(HTMLParser):
         if not self.cur_chunks:
             return
         ctype, media = self.containers[-1] if self.containers else ("generic", "")
-        if ctype == "li":
+        if ctype == "li" and (final or not self._inline_nested()):
+            # oracle parity: _emit_list flushes "list_item" for runs it
+            # ends itself (li end, or a block/img that is a DIRECT li
+            # child), but a block interrupting from INSIDE an open
+            # inline element flushes via _gather_inline's default —
+            # plain "text"
             kind, kmedia = "list_item", media
         elif ctype == "heading" and final:
             kind, kmedia = "heading", media
@@ -110,6 +116,17 @@ class _FlatEmitter(HTMLParser):
             o["c_text"].append(text)
             o["c_link"].append(in_link)
         self.cur_chunks = []
+
+    def _inline_nested(self) -> bool:
+        """True when an inline element frame (span/a/b/...) is open
+        above the innermost container — i.e. the interrupting block is
+        not a direct child of that container."""
+        for _tag, effect in reversed(self.tag_stack):
+            if effect in (_F_PLAIN, _F_LINK):
+                return True
+            if effect == _F_CONT:
+                return False
+        return False
 
     def _emit_cell_chunk(self, text: str) -> None:
         t = self.tables[-1]
@@ -143,30 +160,53 @@ class _FlatEmitter(HTMLParser):
                 # nested table directly under a table: invisible to output
                 self.drop_depth += 1
                 return _F_DROP
+            if t["tr_open"]:
+                # oracle parity (html.py find_rows): cells are DIRECT
+                # td/th children of the open tr — any other element
+                # (incl. a nested tr) blocks cell opening for its
+                # whole subtree instead of re-parenting later cells.
+                if tag in ("td", "th") and t["misc"] == 0:
+                    t["cell"] += 1
+                    t["cell_open"] = True
+                    self._emit_cell_chunk("")  # presence marker
+                    return _F_CELL
+                t["misc"] += 1
+                return _F_TBL_MISC
             if tag == "tr":
                 t["tr"] += 1
                 t["cell"] = -1
-                return _F_PLAIN
-            if tag in ("td", "th") and t["tr"] >= 0:
-                t["cell"] += 1
-                t["cell_open"] = True
-                self._emit_cell_chunk("")  # presence marker (empty cells kept)
-                return _F_CELL
+                t["tr_open"] = True
+                return _F_TR
+            # between rows: non-tr elements (thead/tbody wrappers, and
+            # per find_rows even stray td/th) are transparent — rows
+            # found inside them still count
             return _F_PLAIN
+        if (self.containers and self.containers[-1][0] == "list"
+                and tag not in ("li", "ul", "ol")):
+            # oracle parity (html.py _emit_list): a non-li/ul/ol child
+            # of an open list is skipped with its WHOLE subtree — the
+            # tree walk never descends into it, so the stream arm must
+            # make it invisible too, not re-parent it as a sibling.
+            self.drop_depth += 1
+            return _F_DROP
         if tag == "pre":
             self._flush(final=False)
             self.pre_depth += 1
             self.code_buf = []
+            self._suspend_link()
             return _F_PRE
         if tag == "table":
             self._flush(final=False)
             self.tables.append({"seq": self._emit_meta("table", ""),
                                 "tr": -1, "cell": -1, "cell_open": False,
+                                "tr_open": False, "misc": 0,
                                 "inner": 0, "ord": 0})
+            self._suspend_link()
             return _F_TABLE
         if tag in ("ul", "ol"):
             self._flush(final=False)
             self.containers.append(("list", "o" if tag == "ol" else "u"))
+            self._suspend_link()
             return _F_CONT
         if tag == "li":
             self._flush(final=False)
@@ -176,10 +216,12 @@ class _FlatEmitter(HTMLParser):
                 self.containers.append(("li", f"li:{marker}:{depth}"))
             else:
                 self.containers.append(("generic", ""))
+            self._suspend_link()
             return _F_CONT
         if tag in HEADING_TAGS:
             self._flush(final=False)
             self.containers.append(("heading", f"h{HEADING_TAGS[tag]}"))
+            self._suspend_link()
             return _F_CONT
         if tag == "a":
             self.link_depth += 1
@@ -187,8 +229,18 @@ class _FlatEmitter(HTMLParser):
         if tag in _BLOCK_TAGS:
             self._flush(final=False)
             self.containers.append(("generic", ""))
+            self._suspend_link()
             return _F_CONT
         return _F_PLAIN
+
+    def _suspend_link(self) -> None:
+        """Oracle parity (html.py _walk / _emit_list): every block
+        boundary resets the link context — `_gather_inline(node,
+        False)` — so text inside a block that opened UNDER an unclosed
+        <a> is NOT link text. Suspend on barrier open, restore on its
+        close (the matching _close_effect)."""
+        self.link_save.append(self.link_depth)
+        self.link_depth = 0
 
     def _close_effect(self, effect: int) -> None:
         if effect == _F_DROP:
@@ -203,20 +255,33 @@ class _FlatEmitter(HTMLParser):
                     o["k_row"].append(self.row)
                     o["k_seq"].append(s)
                     o["k_text"].append(text)
+            self._restore_link()
         elif effect == _F_LINK:
             self.link_depth -= 1
         elif effect == _F_TABLE:
             if self.tables:
                 self.tables.pop()
+            self._restore_link()
         elif effect == _F_CELL:
             if self.tables:
                 self.tables[-1]["cell_open"] = False
+        elif effect == _F_TR:
+            if self.tables:
+                self.tables[-1]["tr_open"] = False
+        elif effect == _F_TBL_MISC:
+            if self.tables:
+                self.tables[-1]["misc"] -= 1
         elif effect == _F_INNER_TBL:
             if self.tables:
                 self.tables[-1]["inner"] -= 1
         elif effect == _F_CONT:
             self._flush(final=True)
             self.containers.pop()
+            self._restore_link()
+
+    def _restore_link(self) -> None:
+        if self.link_save:
+            self.link_depth = self.link_save.pop()
 
     # -- HTMLParser callbacks ---------------------------------------------
 
@@ -252,6 +317,13 @@ class _FlatEmitter(HTMLParser):
                     self._emit_cell_chunk(" ")
                 return
             if self.containers and self.containers[-1][0] == "list":
+                return
+            if (self.containers and self.containers[-1][0] == "li"
+                    and not self._inline_nested()):
+                # oracle parity: _emit_list routes a DIRECT li-child br
+                # through _gather_inline(br) — which walks the void
+                # node's (empty) children and adds nothing; only a br
+                # nested in an inline element adds the " " separator
                 return
             self.cur_chunks.append((" ", False))
 
