@@ -161,11 +161,11 @@ def reassemble(parsed: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
                     docs = _two_phase(parsed, salt_buckets,
                                       salt_expr=case_salt)
                 else:
-                    hot_ids = (parsed.sparkSession.createDataFrame(
+                    hot_ids_df = (parsed.sparkSession.createDataFrame(
                         [(r[0],) for r in hot_rows], "doc_id string")
                         .withColumn("_hot", F.lit(True)))
-                    tagged = parsed.join(F.broadcast(hot_ids), "doc_id",
-                                         "left")
+                    tagged = parsed.join(F.broadcast(hot_ids_df),
+                                         "doc_id", "left")
                     case_salt = (F.when(F.col("_hot").isNotNull(),
                                         bucket_salt)
                                  .otherwise(F.lit(0)))

@@ -377,13 +377,18 @@ def extract(
     # re-measurement; it also carries the byte-derived html-expansion
     # margin, which the count-only fallback deliberately omits. For an
     # EXTERNAL table (no size_bucket, never went through ingest) that
-    # means a few-spans-but-multi-GB-payload doc is not flagged hot —
-    # accepted: salting cannot split a single span struct anyway (the
-    # giant-SPAN shape is bounded only by a spans/doc+bytes/span cap
-    # at ingest, SURVEY §7.3.4), and re-reading the payload column to
-    # estimate bytes is the full-corpus second scan r4 VERDICT #2
-    # removed. Route external tables through ingest_raw_text or add
-    # size_bucket upstream to get the byte margin back.
+    # omission has TWO accepted residuals: (a) a few-spans-but-
+    # multi-GB-payload doc is not flagged hot — salting cannot split
+    # a single span struct anyway (the giant-SPAN shape is bounded
+    # only by a spans/doc+bytes/span cap at ingest, SURVEY §7.3.4);
+    # (b) a doc with few-but-huge HTML spans, each expanding into
+    # thousands of parsed blocks, is not flagged either, so its
+    # reassembly group lands unsalted on one reducer — the byte
+    # margin exists precisely to catch this shape, and only the
+    # ingest path can provide it, because re-reading the payload
+    # column to estimate bytes is the full-corpus second scan r4
+    # VERDICT #2 removed. Route external tables through
+    # ingest_raw_text or add size_bucket upstream to get both back.
     hot_ids: list | None = None
     if salted and salt_threshold is not None:
         if "size_bucket" in df.columns:

@@ -199,16 +199,55 @@ _FREQ_HANGUL_MIN_CHARS = 8
 _FREQ_HANGUL_SHARE = 0.4
 
 
-def _korean_confirms(text: str) -> bool:
+def _korean_confirms(text: str, strict: bool = False) -> bool:
     """Frequent-syllable confirmation; vacuously true below the
     minimum sample size (no statistic separates the codecs on a few
     syllables — the row-range gate is the best available evidence
-    there, preserving the pre-round-5 behavior)."""
+    there, preserving the pre-round-5 behavior). ``strict=True``
+    (the pure-upper-range window path) flips the vacuous default to
+    False: there the euc_kr reading competes with an equally-
+    grammatical Cyrillic one, and a sample too small to measure must
+    not win the tie."""
     syl = [c for c in text if 0xAC00 <= ord(c) <= 0xD7A3]
     if len(syl) < _FREQ_HANGUL_MIN_CHARS:
-        return True
+        return not strict
     freq = sum(1 for c in syl if c in _FREQ_HANGUL)
     return freq / len(syl) >= _FREQ_HANGUL_SHARE
+
+
+# Tie-break for the pure-upper-range window (every high byte >= 0xC0,
+# the exact cp1251/koi8 letter band): such bytes can ALSO be a
+# grammatical GB/Big5 pair stream, so grammar + script ratio cannot
+# decide. Same stopword-style rule as _FREQ_HANGUL: genuine Chinese
+# prose is dominated by a few hundred high-frequency hanzi (top ~200
+# cover half of running text), while Cyrillic-as-GB mojibake decodes
+# ~uniformly over the thousands of codepoints reachable from
+# (C0-FF, C0-FE) byte pairs — expected frequent-share a few percent.
+# Simplified + frequent traditional forms, deduped by frozenset.
+_FREQ_HANZI = frozenset(
+    "的一是不了人我在有他这为之大来以个中上们到说国和地也子时道出而"
+    "要于就下得可你年生自会那后能对着事其里所去行过家十用发天如然作"
+    "方成者多日都三小军二无同么经法当起与好看学进种将还分此心前面又"
+    "定见只主没公从已它两使式新文明很把开实际理想情况问题全力重东变"
+    "条平意口头话等合远常提队第间什样单色光门听风水好月白四五几外但"
+    "這為來個們說國時於後會對裡過發經當與學進種還見沒從麼無長書點現"
+    "動員體讓麗業間題戰號區決傳錢"
+)
+_FREQ_HANZI_MIN_CHARS = 8
+_FREQ_HANZI_SHARE = 0.25
+
+
+def _chinese_confirms(text: str) -> bool:
+    """Frequent-hanzi confirmation for the pure-upper-range tie-break.
+    Below the minimum sample the answer is False — with both readings
+    grammatical and no measurable statistic, the single-byte Cyrillic
+    interpretation (whose letter band the window sits in exactly) is
+    the safer default."""
+    han = [c for c in text if 0x4E00 <= ord(c) <= 0x9FFF]
+    if len(han) < _FREQ_HANZI_MIN_CHARS:
+        return False
+    freq = sum(1 for c in han if c in _FREQ_HANZI)
+    return freq / len(han) >= _FREQ_HANZI_SHARE
 
 
 def _adjacent_high_share(raw: bytes) -> float:
@@ -255,10 +294,17 @@ def _detect_window(raw: bytes) -> tuple[bytes, bool]:
         return raw, False
     m = _FIRST_HIGH_RE.search(raw)
     start = max(0, (m.start() if m else 0) - 16)
-    return raw[start:start + DETECT_WINDOW_BYTES], True
+    # truncated only when the right edge actually CUT the payload: a
+    # window that reaches the true document end must not be granted
+    # decode tail-slack, else a genuinely corrupt final sequence is
+    # forgiven in a >64KiB doc but rejected in a small one and the
+    # verdict flips on total length instead of content
+    return (raw[start:start + DETECT_WINDOW_BYTES],
+            start + DETECT_WINDOW_BYTES < len(raw))
 
 
-def _detect_east_asian(raw: bytes, truncated: bool = False) -> str | None:
+def _detect_east_asian(raw: bytes, truncated: bool = False,
+                       upper_range: bool = False) -> str | None:
     """Fixed-rule East-Asian detection; None when no rule fires.
 
     Entry gate: the adjacent-high-byte share must look multi-byte
@@ -271,7 +317,15 @@ def _detect_east_asian(raw: bytes, truncated: bool = False) -> str | None:
     strict grammar, so the two cannot shadow each other), then Korean
     (hangul), then Chinese with Big5-before-GB18030 when ASCII-range
     trails appear (GB18030 is near-total over byte pairs, so it must
-    come last and behind absolute-count guards)."""
+    come last and behind absolute-count guards).
+
+    ``upper_range``: the window's every high byte is >= 0xC0 — the
+    exact cp1251/koi8 letter band, where a Cyrillic reading is always
+    grammatical too. The Korean and Chinese branches then demand
+    frequent-character confirmation (``_korean_confirms(strict=True)``,
+    ``_chinese_confirms``) before winning the tie; the kana branch
+    needs none (full-width kana leads sit below 0xC0 in both Japanese
+    codecs, so it cannot fire on such a window)."""
     slack = 4 if truncated else 0
     if _adjacent_high_share(raw) < 0.35:
         return None
@@ -292,7 +346,8 @@ def _detect_east_asian(raw: bytes, truncated: bool = False) -> str | None:
             # _korean_confirms: rows-B0-C8-only hanzi decode into
             # hangul too, so the script test alone misroutes e.g.
             # 大家好 — see _FREQ_HANGUL notes
-            if ratio > 0.5 and hits >= 4 and _korean_confirms(t):
+            if (ratio > 0.5 and hits >= 4
+                    and _korean_confirms(t, strict=upper_range)):
                 return "euc_kr"
     order = (("big5", "gb18030") if _ascii_trail_share(raw) > 0.05
              else ("gb18030", "big5"))
@@ -300,7 +355,8 @@ def _detect_east_asian(raw: bytes, truncated: bool = False) -> str | None:
         t = _strict(raw, enc, slack)
         if t is not None:
             ratio, hits = _script_hits(t, _HAN)
-            if ratio > 0.7 and hits >= 8:
+            if (ratio > 0.7 and hits >= 8
+                    and (not upper_range or _chinese_confirms(t))):
                 return enc
     return None
 
@@ -353,19 +409,22 @@ def detect_encoding(raw: bytes) -> str | None:
     high = [b for b in win if b >= 0x80]
     if not high:
         return None
-    # Pure-upper-range pre-gate: a window whose EVERY high byte is
-    # >= 0xC0 is the cp1251/koi8 letter range exactly, and essentially
-    # impossible for genuine East-Asian text — the common GB (B0-D7),
-    # Big5 (A4-C6), EUC-KR (B0-C8), EUC-JP (A4/A5 kana) and SJIS
-    # (81-9F) lead rows all sit below 0xC0. Without this gate,
-    # Cyrillic whose high-byte runs happen to be ALL even-length slips
-    # the EUC/GB grammar's run-parity defense (no dangling lead) and
-    # strict-decodes into plausible hanzi — measured ~2% of uniform-
-    # random cp1251/koi8 strings in a 9,000-trial soak, 0% after.
-    if not all(b >= 0xC0 for b in high):
-        ea = _detect_east_asian(win, truncated)
-        if ea is not None:
-            return ea
+    # Pure-upper-range tie-break: a window whose EVERY high byte is
+    # >= 0xC0 sits exactly in the cp1251/koi8 letter band, where a
+    # Cyrillic reading is ALWAYS grammatical — and when the high-byte
+    # runs are all even-length, no dangling lead breaks the EUC/GB
+    # run-parity defense and the same bytes strict-decode into
+    # plausible hanzi too (measured ~2% of uniform-random cp1251/koi8
+    # strings in a 9,000-trial soak). Such windows are NOT skipped
+    # outright — GB/Big5 leads extend past 0xC0 (GB hanzi rows run
+    # B0-F7), so e.g. 中×8 = d6d0×8 is genuine pure-upper-range
+    # Chinese — instead the EA branch runs in upper_range mode, which
+    # demands frequent-character confirmation (_chinese_confirms /
+    # strict _korean_confirms) before the multi-byte reading wins.
+    ea = _detect_east_asian(win, truncated,
+                            upper_range=all(b >= 0xC0 for b in high))
+    if ea is not None:
+        return ea
     density = len(high) / max(len(letters), 1)
     if density > 0.5:
         # cp866 puts uppercase at 0x80-0x9F and SPLITS lowercase

@@ -149,27 +149,57 @@ class TestToUtf8Bytes:
         assert detect_encoding(FR.encode("cp1252")) == "cp1252"
 
     def test_even_run_cyrillic_not_misrouted_east_asian(self):
-        """Pure-upper-range pre-gate regression (round-5 soak): when
+        """Pure-upper-range tie-break regression (round-5 soak): when
         EVERY high-byte word has even length, no dangling lead breaks
         the EUC/GB grammars and the bytes strict-decode into plausible
-        hanzi — but all cp1251/koi8 letters sit at >= 0xC0, a range no
-        genuine East-Asian page's lead rows occupy, so the gate keeps
-        the window away from the EA branch entirely."""
+        hanzi — but all cp1251/koi8 letters sit at >= 0xC0, so such a
+        window is ALSO perfect Cyrillic. The EA branch then demands
+        frequent-hanzi confirmation, which uniform mojibake fails."""
         # every word even-length: the run-parity defense is blind here
         even_ru = "словоб пара тексты делода водара"
         for enc in ("cp1251", "koi8_r"):
             raw = even_ru.encode(enc)
             assert all(b >= 0xC0 for b in raw if b >= 0x80)
             assert detect_encoding(raw) == enc, enc
-        # and the gate must NOT block genuine East-Asian text: common
-        # lead rows all sit below 0xC0, so the all->=C0 predicate is
-        # false for every real EA fixture
+        # and the tie-break must NOT block normal East-Asian text:
+        # common lead rows mostly sit below 0xC0, so the all->=C0
+        # predicate is false for every real EA fixture and the
+        # upper_range mode never engages on them
         for enc, s in (("gb18030", ZH_S), ("big5", ZH_T),
                        ("euc_kr", KO), ("shift_jis", JA),
                        ("euc_jp", JA)):
             raw = s.encode(enc)
             assert not all(b >= 0xC0 for b in raw if b >= 0x80)
             assert detect_encoding(raw) == enc, enc
+
+    def test_pure_upper_range_chinese_still_detected(self):
+        """The round-5 pre-gate HARD-skipped the EA branch for pure-
+        upper-range windows, misrouting genuine GB text whose bytes
+        all sit >= 0xC0 (GB hanzi rows run B0-F7, well past 0xC0) to
+        koi8/cp1251 mojibake. The tie-break keeps the Cyrillic fix
+        while letting frequent-hanzi prose through."""
+        for zh in ("中中中中中中中中",       # d6d0 x8 — the review repro
+                   "我们在这里有三年了"):    # every byte >= 0xC0
+            raw = zh.encode("gb2312")
+            assert all(b >= 0xC0 for b in raw), zh
+            assert detect_encoding(raw) == "gb18030", zh
+            assert to_utf8_bytes(raw) == zh
+
+    def test_detection_verdict_stable_across_doc_length(self):
+        """A >64KiB doc whose window reaches the TRUE payload end must
+        get no decode tail-slack: a genuinely corrupt final sequence
+        was being forgiven in big docs but rejected in small ones, so
+        the verdict flipped on total document length, not content."""
+        body = (JA * 200).encode("shift_jis") + b"\x83"  # dangling lead
+        small = body                                 # window = whole doc
+        big = b"x" * 60000 + body   # window starts ~59984, ends at EOF
+        assert len(small) <= 65536 < len(big)
+        assert detect_encoding(big) == detect_encoding(small)
+        # a window that IS cut short still gets slack: same corrupt
+        # tail bytes, but the window's right edge lands mid-payload
+        # far before them, so detection sees only valid prose
+        huge = b"x" * 60000 + (JA * 2000).encode("shift_jis") + b"\x83"
+        assert detect_encoding(huge) == "shift_jis"
 
     def test_east_asian_does_not_shadow_western_accents(self):
         """Regression: an accent byte followed by an ASCII letter is a

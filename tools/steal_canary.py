@@ -11,8 +11,10 @@ or compared via contention-free bounds, not averaged in.
 body — the per-proc Miters/s scale (quiet host ~7 per proc when all
 cores busy, ~19-21 single-proc) stays comparable across tools because
 the iteration cost is identical. The callers differ only in probe
-width/duration (bench: 8 procs x 1.5 s quick bracket; scaling: the
-leg's full affinity mask x 2 s).
+width/duration (bench: CPUS procs — its own run width, default 32 —
+x 1.5 s, after the 8-wide probe was measured green during bursts
+that still capped the 32-wide run; scaling: the leg's full affinity
+mask x 2 s).
 """
 
 from __future__ import annotations

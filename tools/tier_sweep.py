@@ -21,9 +21,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.steal_canary import QUIET_MITERS, canary
+from tools.steal_canary import DEFAULT_GATE as GATE, QUIET_MITERS, canary
 
-GATE = 0.85
 MAX_WAIT_S = 4800
 POLL_S = 120
 WIDTH = 32
