@@ -158,6 +158,104 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     assert out.filter(F.col("epoch_id") == 0).count() == epoch0
 
 
+def _hostile_docs(seed: int, n: int) -> list:
+    """Deterministic hostile corpus as streaming input rows: tag-soup
+    html (the test_html_arm_parity generator), hostile pdf coordinate
+    grammar, NULL payloads/kinds, mojibake and invisible text,
+    embedded table separators, negative sparse offsets — the
+    adversarial families the batch fuzz hammers, here aimed at the
+    streaming front-end."""
+    import random
+
+    from document_parser_spark.config import CELL_SEP, ROW_SEP
+    from test_html_arm_parity import _rand_doc
+
+    rng = random.Random(seed)
+    pdfs = ["1;10;100;10;100|line one", " 1;2;3;4;5|ws-pad",
+            "1;;3;4;5|empty", "1;9007199254740993;3;4;5|overflow",
+            "2;20;50;30;60|second", "oops", ""]
+    texts = ["plain", "Ã© mojibake", "/uni0041 esc", "x​y", "",
+             None, "`tick`", "‮trick", "   "]
+    tables = [f"a{CELL_SEP}b{ROW_SEP}c{CELL_SEP}d", "",
+              f"cell|pipe{ROW_SEP}semi;colon", None]
+    docs = []
+    for i in range(n):
+        n_spans = rng.randint(1, 6)
+        offs = rng.sample(range(-50, 100), n_spans)
+        spans = []
+        for j in range(n_spans):
+            r = rng.random()
+            if r < 0.30:
+                spans.append({"kind": "html", "text": _rand_doc(rng),
+                              "media_ref": "", "offset": offs[j]})
+            elif r < 0.50:
+                spans.append({"kind": "pdf_line",
+                              "text": rng.choice(pdfs),
+                              "media_ref": "", "offset": offs[j]})
+            elif r < 0.65:
+                spans.append({"kind": "text", "text": rng.choice(texts),
+                              "media_ref": "", "offset": offs[j]})
+            elif r < 0.75:
+                spans.append({"kind": rng.choice(["table", "docx_table"]),
+                              "text": rng.choice(tables),
+                              "media_ref": "", "offset": offs[j]})
+            elif r < 0.85:
+                spans.append({"kind": "image", "text": "",
+                              "media_ref": rng.choice(
+                                  ["img://x", "", None]),
+                              "offset": offs[j]})
+            else:
+                # kind is non-nullable in DOCUMENTS_IN_SCHEMA (the
+                # streaming contract); unknown kinds exercise the
+                # failure-tally path instead
+                spans.append({"kind": rng.choice(["blob", "mp4", "docx"]),
+                              "text": rng.choice(texts),
+                              "media_ref": "", "offset": offs[j]})
+        docs.append((f"h{i}", spans, "host.example", "s"))
+    return docs
+
+
+def test_stream_extract_hostile_multibatch(spark, tmp_path):
+    """Hostile corpus through the STREAMING front-end, split across
+    micro-batches (maxFilesPerTrigger=1): per-doc output must equal
+    the pure-Python oracle — serialization, failure tallies and span
+    order must not depend on which micro-batch a doc arrived in —
+    and a checkpointed restart must add zero rows (exactly-once)."""
+    from document_parser_spark.refparser.parse import parse_document
+    from document_parser_spark.schema import DOCUMENTS_IN_SCHEMA
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = _hostile_docs(20260821, 60)
+    for k in range(3):                       # 3 files -> 3 micro-batches
+        spark.createDataFrame(docs[k * 20:(k + 1) * 20],
+                              DOCUMENTS_IN_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream_extract(spark, in_dir, out_dir, ckpt,
+                   max_files_per_trigger=1).awaitTermination(240)
+    out = spark.read.parquet(out_dir)
+    assert out.select("epoch_id").distinct().count() >= 3
+    got = {
+        r.doc_id: (
+            [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans],
+            r.markdown, r.status, r.n_failures)
+        for r in out.collect()
+    }
+    assert len(got) == len(docs)
+    for doc_id, spans, _, _ in docs:
+        want = parse_document(
+            doc_id, [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in spans])
+        assert got[doc_id] == (want.spans, want.markdown, want.status,
+                               want.n_failures), doc_id
+
+    # restart on the same checkpoint: nothing new -> no duplicates
+    stream_extract(spark, in_dir, out_dir, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(docs)
+
+
 def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState keep-first dedup: a duplicate arriving in
     a LATER micro-batch must be suppressed by keyed state (and a
