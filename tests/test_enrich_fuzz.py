@@ -103,10 +103,11 @@ def oracle_detect_lang(seq):
     return best_lang if best_ratio >= EN_STOP_RATIO_MIN else "unk"
 
 
-def oracle_enriched(doc_id, spans, parse_images, translate, detect_lang):
+def oracle_enriched(doc_id, spans, parse_images, translate, detect_lang,
+                    pdf_vlm=False):
     """Full-composition oracle: parse_document + stub models, in
     extract()'s stage order (OCR -> detect -> translate -> serialize)."""
-    base = parse_document(doc_id, spans)
+    base = parse_document(doc_id, spans, pdf_vlm=pdf_vlm)
     seq = [(k, t, m) for k, t, m, _ in base.spans]
     if parse_images:
         seq = oracle_insert_ocr(seq)
@@ -118,13 +119,14 @@ def oracle_enriched(doc_id, spans, parse_images, translate, detect_lang):
     return out_spans, markdown, base.status, base.n_failures, lang
 
 
-def _compare(spark, docs, parse_images, translate, detect_lang):
+def _compare(spark, docs, parse_images, translate, detect_lang,
+             pdf_vlm=False):
     from document_parser_spark.plans.pipeline import extract
 
     rows = [(f"d{i}", spans) for i, spans in enumerate(docs)]
     df = spark.createDataFrame(rows, SPAN_SCHEMA)
     out = extract(df, parse_images=parse_images, translate=translate,
-                  detect_lang=detect_lang)
+                  detect_lang=detect_lang, pdf_vlm=pdf_vlm)
     got = {
         r["doc_id"]: (
             [(s["kind"], s["text"], s["media_ref"], s["offset"])
@@ -137,7 +139,7 @@ def _compare(spark, docs, parse_images, translate, detect_lang):
     assert len(got) == len(rows)
     for doc_id, spans in rows:
         want = oracle_enriched(doc_id, spans, parse_images, translate,
-                               detect_lang)
+                               detect_lang, pdf_vlm=pdf_vlm)
         assert got[doc_id] == want, (doc_id, spans)
 
 
@@ -201,3 +203,19 @@ def test_enrichment_edges_translate_only(spark):
 def test_fuzz_enrichment_matches_oracle(spark, docs, flags):
     parse_images, translate, detect_lang = flags
     _compare(spark, docs, parse_images, translate, detect_lang)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(_doc_spans, min_size=1, max_size=3),
+       flags=st.sampled_from([(False, False, False), (True, True, False)]))
+def test_fuzz_pdf_vlm_arm_matches_oracle(spark, docs, flags):
+    """The VLM whole-doc PDF arm (pdf_vlm=True) through the same
+    composition oracle: the batch fuzz only ever exercised the layout
+    pipeline; hostile grammar must fail identically and the enrichment
+    stages must compose identically over VLM output spans."""
+    parse_images, translate, detect_lang = flags
+    _compare(spark, docs, parse_images, translate, detect_lang,
+             pdf_vlm=True)
