@@ -69,6 +69,7 @@ class _FlatEmitter(HTMLParser):
         self.seq = 0
         self.tag_stack: list[tuple[str, int]] = []   # (tag, effect)
         self.containers: list[tuple[str, str]] = []  # (type, media_ref)
+        self.list_depths: list[int] = []             # depth per open list
         self.drop_depth = 0
         self.pre_depth = 0
         self.link_depth = 0
@@ -150,7 +151,7 @@ class _FlatEmitter(HTMLParser):
             return _F_PLAIN
         t = self.tables[-1] if self.tables else None
         if t is not None:
-            if t["cell_open"] and t["inner"] == 0 or (t and t["inner"] > 0):
+            if t["inner"] > 0 or t["cell_open"]:
                 if tag == "table":
                     t["inner"] += 1
                     return _F_INNER_TBL
@@ -205,6 +206,22 @@ class _FlatEmitter(HTMLParser):
             return _F_TABLE
         if tag in ("ul", "ol"):
             self._flush(final=False)
+            # Oracle depth rule (html.py _emit_list/_walk): depth
+            # increments ONLY along direct li>ul/ol and ul/ol>ul/ol
+            # chains; a list reached any other way (inside an inline
+            # element, a div under an li, a stray li...) re-enters via
+            # _walk and RESTARTS at depth 0. Counting open list
+            # containers overstated depth for '<li><b><ul>' shapes
+            # (fuzz-caught): the stream must check the DIRECT parent
+            # tag and that it carries a genuine list/li container.
+            parent = self.tag_stack[-1][0] if self.tag_stack else None
+            top = self.containers[-1][0] if self.containers else None
+            if ((parent in ("ul", "ol") and top == "list")
+                    or (parent == "li" and top == "li")) and self.list_depths:
+                depth = self.list_depths[-1] + 1
+            else:
+                depth = 0
+            self.list_depths.append(depth)
             self.containers.append(("list", "o" if tag == "ol" else "u"))
             self._suspend_link()
             return _F_CONT
@@ -212,7 +229,7 @@ class _FlatEmitter(HTMLParser):
             self._flush(final=False)
             if self.containers and self.containers[-1][0] == "list":
                 marker = self.containers[-1][1]
-                depth = sum(1 for c in self.containers if c[0] == "list") - 1
+                depth = self.list_depths[-1]
                 self.containers.append(("li", f"li:{marker}:{depth}"))
             else:
                 self.containers.append(("generic", ""))
@@ -276,7 +293,8 @@ class _FlatEmitter(HTMLParser):
                 self.tables[-1]["inner"] -= 1
         elif effect == _F_CONT:
             self._flush(final=True)
-            self.containers.pop()
+            if self.containers.pop()[0] == "list":
+                self.list_depths.pop()
             self._restore_link()
 
     def _restore_link(self) -> None:
@@ -309,7 +327,10 @@ class _FlatEmitter(HTMLParser):
             if self.containers and self.containers[-1][0] == "list" :
                 return  # img directly under ul/ol: skipped
             self._flush(final=False)
-            src = next((v for k, v in attrs if k == "src"), "") or ""
+            # dict() = last-duplicate-wins, the oracle's _Node.attrs
+            # semantics (html.parser hands duplicates through verbatim;
+            # a first-wins pick diverged on '<img src=a src=b>')
+            src = dict(attrs).get("src") or ""
             self._emit_meta("image", src)
         elif tag == "br":
             if t is not None:
@@ -382,14 +403,35 @@ class _FlatEmitter(HTMLParser):
 # ('<a;>' is tag 'a;', not 'a' — fuzz-caught). '<' is excluded from
 # our class: a name CPython would continue through '<' fails to match
 # here, falls into a data segment, and bails the doc (safe fallback).
+# The name quantifier must be POSSESSIVE for that bail to actually
+# happen: a backtracking name could give a quote back to the attrs
+# group and parse '<a"<">' as tag 'a' with attr '"<"' — a parse
+# CPython never produces (its name munches through the quote AND the
+# '<') — instead of bailing (fuzz-caught; pre-existing, surfaced by
+# the widened raw-chars alphabet).
 _MASTER_RE = re.compile(r"""<(?:
     (?P<end>/)(?P<etag>[a-zA-Z][-.a-zA-Z0-9:_]*)(?P<ejunk>[^<>]*)>
-  | (?P<tag>[a-zA-Z][^\t\n\r\f\x20/>\x00<]*)
-      (?P<attrs>(?:[^<>"']+|"[^"]*"|'[^']*')*)
+  | (?P<tag>[a-zA-Z][^\t\n\r\f\x20/>\x00<]*+)
+      (?P<attrs>(?:[^<>"'=]++|=++\s*+(?:"[^"]*+"|'[^']*+')?+)*+)
       >
-  | !--(?P<comment>.*?)-->
+  | !--(?P<comment>.*?)--\s*>
   | (?P<decl>(?:!(?!--)|\?)[^<>]*)>
 )""", re.VERBOSE | re.DOTALL)
+# attrs mirrors CPython's locatestarttagend_tolerant QUOTING RULE:
+# a quote opens a quoted span ONLY after '='(+optional ws) — a bare
+# quote elsewhere stops the group, fails the branch, and bails the
+# doc ('<b/'>'>' parsed here as one tag to the LAST '>' while
+# CPython ends the start tag at the first '>', fuzz-caught). All
+# quantifiers are POSSESSIVE (Python 3.11): the alternatives
+# partition on their first character, so maximal munch is the only
+# viable parse and possessiveness changes no match — while the
+# backtracking form was exponential on a truncated tag with no
+# closing '>' ('<a ' + 'b'*N measured 2^N: 3.4 s at N=25), pinning
+# an executor on real crawl tails before the html.parser fallback
+# could even be reached.
+# Comment close is '--\s*>', CPython's _commentclose: with a literal
+# '-->' the common '-- >' close style made the lazy body swallow all
+# content to the NEXT literal '-->' with no bail (content loss).
 # the decl branch refuses '!--' prefixes: '<!-->' (a comment opener
 # with no terminator) must NOT parse as a declaration — it falls into
 # a data segment and bails to html.parser (fuzz-caught).
@@ -398,8 +440,6 @@ _MASTER_RE = re.compile(r"""<(?:
 # (html.parser flushes them as data at close() — parser-specific recovery).
 
 _SUSPICIOUS_DATA_RE = re.compile(r"<[a-zA-Z/!?]")
-_SRC_RE = re.compile(
-    r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
 # CPython cdata close search (`</\s*script`, re.I) + the strict close form
 # we can replicate; any loose-but-not-strict close -> bail.
 _CDATA_TAGS = ("script", "style")
@@ -513,16 +553,18 @@ def _scan_into(doc: str, hd, hs, he, hse) -> bool:
                 kind, exact_attrs = res
                 selfclose = kind == "se"
                 if tag == "img":
-                    attrs = [(an, av) for an, av in exact_attrs
-                             if an == "src" and av is not None][:1]
+                    attrs = exact_attrs
             else:
                 selfclose = False
-                if tag == "img":
-                    sm = _SRC_RE.search(a)
-                    if sm:
-                        val = next(g for g in sm.groups() if g is not None)
-                        attrs = [("src",
-                                  _unescape(val) if "&" in val else val)]
+                if tag == "img" and a:
+                    # replay CPython's attr loop exactly — a word-boundary
+                    # src grep diverged four ways from html.parser (it hit
+                    # data-src, src= inside another attr's quoted value,
+                    # first-match-wins vs last-duplicate-wins, 'src==x')
+                    res = _start_kind(rawtag + a)
+                    if res is None:
+                        return False  # parse_starttag error recovery
+                    attrs = res[1]
             if selfclose:
                 hse(tag, attrs)
             else:

@@ -93,7 +93,17 @@ def track_persist(df: DataFrame) -> DataFrame:
     # depend on it.
     _LIVE[:] = [live for live in _LIVE if not _same_plan(live, df)]
     df = df.persist()
-    df.count()
+    try:
+        df.count()
+    except BaseException:
+        # persist() registered the plan in Spark's CacheManager before
+        # the eager materialization ran; if the count job dies (abort,
+        # executor loss, interrupt) the entry must not be left cached
+        # but untracked — it would outlive the pool's bounded-footprint
+        # contract forever (any later action over the lineage would
+        # materialize it outside _LIVE's reach).
+        df.unpersist()
+        raise
     _LIVE.append(df)
     _evict_over_cap()
     return df

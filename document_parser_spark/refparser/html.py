@@ -239,9 +239,6 @@ class _Extractor:
         elif tag == "table":
             self._flush_run()
             self._emit_table(node)
-        elif tag == "img":
-            self._flush_run()
-            self._emit_image(node)
         else:
             self._gather_inline(node, False)
             self._flush_run()

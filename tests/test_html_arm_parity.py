@@ -56,6 +56,17 @@ REPROS = [
     # _gather_inline(br) = empty children); inline-nested br does
     "<ul src=i.png><li>h<br id=main/>/",
     "<ul><li>a<span>x<br/>y</span></li></ul>",
+    # list DEPTH restarts at 0 unless the ul/ol is a DIRECT child of
+    # a list li or another ul/ol (oracle: any other route re-enters
+    # through _walk -> _emit_list(node, 0)); counting open list
+    # containers overstated '<li><b><ul>' shapes
+    "<ul><li><b><ul><li>x</li></ul></b></li></ul>",
+    "<ul><li><code><ul><li>x</li></ul></code></li></ul>",
+    "<ul><li><div><ul><li>x</li></ul></div></li></ul>",
+    "<ul><li><div><li><ul><li>x</li></ul></li></div></li></ul>",
+    "<ul><li><ul><li>x</li></ul></li></ul>",      # direct: depth 1
+    "<ul><li><ul><ul><li>x</li></ul></ul></li></ul>",  # chain: depth 2
+    "<div><li><ul><li>x</li></ul></li></div>",    # stray li: depth 0
     # well-formed sanity alongside
     "<body><ul><li>one</li><li>two <a href=x>link</a></li></ul></body>",
     "<table><thead><tr><th>h</th></tr></thead>"
@@ -73,9 +84,11 @@ _TEXTS = ["alpha beta gamma delta content here", "x", "é ©", "",
           "longer sentence with many plain words to lift text density "
           "score above the boilerplate line for sure",
           "click here", "home | about | contact", "/uni0041 �",
-          "price: $9.99!", "      ", "a​b"]
+          "price: $9.99!", "      ", "a​b",
+          "<!-- note -- >", "-- >", "tail <b cut"]
 _ATTRS = ["", " class=nav", " id=main", " href='/x'", " src=i.png",
-          " style='x'", " data-x='1'"]
+          " style='x'", " data-x='1'", " data-src=lazy.png",
+          " src=a src=b", " alt='src=q'"]
 _TAGS = ["div", "p", "span", "a", "ul", "li", "table", "tr", "td", "th",
          "h1", "h2", "h3", "pre", "code", "blockquote", "img", "br",
          "script", "style", "nav", "footer", "header", "aside",

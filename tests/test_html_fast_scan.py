@@ -153,6 +153,34 @@ ADVERSARIAL = [
     "<a b==y/>double eq</a>",
     "<style p=q/>h1{x}</style><p>t</p>",
     "",
+    # review-caught: CPython's _commentclose is '--\s*>' — a literal
+    # '-->' requirement made the lazy body swallow content to the NEXT
+    # literal close (silent content loss, no bail)
+    "<!-- note -- ><p>Real visible text</p><!-- tail -->",
+    "<!-- a --  >c<p>d</p>",
+    "<p>a</p><!-- x -- >b",
+    "<!--x--!><p>bang close</p>",
+    # review-caught: src extraction was a word-boundary grep, not an
+    # attr parse — data-src, src= inside another attr's value, first-
+    # vs-last duplicate, and '==' all diverged from html.parser
+    "<img data-src=\"lazy.png\">",
+    "<img data-src=b src=a>",
+    "<img alt=\"src=foo\">",
+    "<img src==x>",
+    "<img src=a src=b>",
+    "<img src=a src>",
+    "<img src=%20&amp;x>",
+    "<img src='q uo'>",
+    # review-caught: truncated start tag with a long unquoted attr run
+    # was exponential in the attrs backtracking (possessive now) —
+    # 4000 chars completes instantly or the suite hangs
+    "<a " + "b" * 4000,
+    "crawl tail <div class=" + "x" * 2000,
+    # fuzz-caught (pre-existing): a backtracking NAME gave the quote
+    # back to the attrs group and parsed tag 'a' + attr '"<"' where
+    # CPython's name munches through both — possessive name bails
+    '<a"<">1',
+    '<p"<"q>2</p>',
 ]
 
 
@@ -180,6 +208,8 @@ _FRAGMENTS = st.sampled_from([
     "</wrong>", "<UPPER>", "<3", "<table><td>c</td></table>",
     "<script src=x/>", "<img src=i.png/>", "<input disabled/>",
     "<a b= />", "<a b=c/d/>",
+    "<!-- c -- >", "-- >", "<img data-src=b src=a>",
+    "<img src=a src=b>", "<img alt='src=q'>", "<a bbbbbbbb",
 ])
 
 
