@@ -154,17 +154,25 @@ def parse_pdf_batch(doc_ids: np.ndarray, spans_col) -> pd.DataFrame:
 
     nums, vmask, cleaned = parse_payloads(pd.Series(payloads, dtype="object"))
     doc_arr = np.asarray(rows_doc)
+    cols = [nums[k].to_numpy() for k in range(5)]
+    # rows_doc is appended doc-by-doc, so doc_arr is NONDECREASING:
+    # each doc's rows are one contiguous slice found by two binary
+    # searches. The previous `doc_arr == i` mask re-scanned the whole
+    # batch per doc — O(n_docs * n_spans) elementwise comparisons,
+    # ~10^10 for a 10k-doc/1M-line Arrow batch (review-caught).
+    idx = np.arange(len(doc_ids))
+    starts = np.searchsorted(doc_arr, idx, side="left")
+    ends = np.searchsorted(doc_arr, idx, side="right")
 
     for i in range(len(doc_ids)):
-        dmask = doc_arr == i
-        n_fail = int((dmask & ~vmask).sum())
-        good = dmask & vmask
+        sl = slice(starts[i], ends[i])
+        vm = vmask[sl]
+        n_fail = int((~vm).sum())
         blocks: list[tuple[str, str, str]] = []
-        if good.any():
+        if vm.any():
             blocks = parse_pdf_doc_lines(
-                nums[0].to_numpy()[good], nums[1].to_numpy()[good],
-                nums[2].to_numpy()[good], nums[3].to_numpy()[good],
-                nums[4].to_numpy()[good], cleaned[good],
+                cols[0][sl][vm], cols[1][sl][vm], cols[2][sl][vm],
+                cols[3][sl][vm], cols[4][sl][vm], cleaned[sl][vm],
             )
         anchor = int(anchors[i])
         for j, (kind, text, media) in enumerate(blocks):
@@ -289,7 +297,6 @@ def pdf_branch_paged(lines_df):
     from pyspark.sql import Window, functions as F
 
     from document_parser_spark.schema import FAIL_KIND as _FK
-    from document_parser_spark.schema import PARSED_SCHEMA
 
     parsed = (lines_df.groupBy("doc_id", "page")
               .applyInPandas(_paged_kernel, schema=_PAGED_KERNEL_SCHEMA))
@@ -311,5 +318,4 @@ def pdf_branch_paged(lines_df):
             .cast("int").alias("ord1"),
             "kind", "text", "media_ref",
         )
-        .select(*[f.name for f in PARSED_SCHEMA.fields])
     )

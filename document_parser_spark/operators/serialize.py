@@ -21,7 +21,12 @@ from document_parser_spark.config import (
     IMAGE_PLACEHOLDER,
     PAGE_BREAK_PLACEHOLDER,
 )
-from document_parser_spark.refparser.serialize import serialize_table
+from document_parser_spark.refparser.serialize import (
+    _HEADING_REF_RE,
+    _LIST_REF_RE,
+    LIST_DEPTH_MAX,
+    serialize_table,
+)
 
 
 def serialize_batch(spans_series: pd.Series, image_mode: str) -> pd.Series:
@@ -52,22 +57,27 @@ def serialize_batch(spans_series: pd.Series, image_mode: str) -> pd.Series:
 
     rendered = text.copy()
 
+    # heading/list media_ref grammars: the STRICT regexes shared with
+    # the oracle (refparser.serialize._HEADING_REF_RE/_LIST_REF_RE) —
+    # any non-matching ref falls back identically on both sides
+    # (review-caught: the arms previously disagreed on 'h7', 'li:o',
+    # 'li:o:1:x', float depths)
     m = kind == "heading"
     if m.any():
-        levels = (media[m].str.extract(r"^h([1-6])$", expand=False)
-                  .fillna("1").astype(int))
+        levels = (pd.to_numeric(
+            media[m].str.extract(_HEADING_REF_RE, expand=False),
+            errors="coerce").fillna(1).clip(1, 6).astype(int))
         rendered[m] = levels.map(lambda v: "#" * v) + " " + text[m]
 
     m = kind == "list_item"
     if m.any():
-        parts = media[m].str.split(":", expand=True)
-        if parts.shape[1] < 3:
-            for k in range(parts.shape[1], 3):
-                parts[k] = None
-        marker = parts[1].fillna("u")
-        depth = pd.to_numeric(parts[2], errors="coerce").fillna(0).astype(int)
+        parts = media[m].str.extract(_LIST_REF_RE)
+        matched = parts[0].notna()
+        marker = parts[1].where(matched, "u")
+        depth = (pd.to_numeric(parts[2], errors="coerce").fillna(0)
+                 .clip(0, LIST_DEPTH_MAX).astype(int))
         bullet = np.where(marker == "o", "1.", "-")
-        indent = depth.map(lambda d: "  " * max(int(d), 0))
+        indent = depth.map(lambda d: "  " * d)
         rendered[m] = indent + bullet + " " + text[m]
 
     m = kind == "table"
@@ -88,8 +98,12 @@ def serialize_batch(spans_series: pd.Series, image_mode: str) -> pd.Series:
     is_pb = kind == "page_break"
     rendered[is_pb] = PAGE_BREAK_PLACEHOLDER
 
-    # drop blocks that rendered empty (e.g. a table payload with no rows)
-    keep = is_pb | (rendered.to_numpy() != "")
+    # drop ONLY empty-rendered tables (the oracle's sole skip): an
+    # empty 'text' or unknown-kind chunk still contributes its '\n\n'
+    # separator and resets list adjacency, exactly as the oracle's
+    # chunk loop appends it (review-caught: dropping every
+    # empty-rendered block changed the separators around it)
+    keep = (kind != "table") | (rendered.to_numpy() != "")
     df = df[keep]
     rendered = rendered[keep]
     kind = df["kind"].to_numpy()

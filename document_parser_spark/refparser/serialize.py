@@ -17,6 +17,8 @@ adjacent lines. Span metadata conventions (heading level, list marker/depth in
 
 from __future__ import annotations
 
+import re
+
 from document_parser_spark.config import (
     CELL_SEP,
     IMAGE_MODE_PLACEHOLDER,
@@ -27,25 +29,35 @@ from document_parser_spark.config import (
 
 _PAGE_BREAK = object()
 
+# media_ref grammars are STRICT (ASCII digits, one optional sign) and
+# shared verbatim with the vectorized arm — the same contract as the
+# pdf coordinate grammar: a bare int() accepts whitespace, underscores
+# and unicode digits that a regex-driven vectorized twin cannot
+# replicate exactly, so both sides pin the regex (review-caught: the
+# two arms previously disagreed on 'h7', 'li:o', 'li:o:1:x', float
+# depths). Depth is clamped to [0, 100]: the indent string is
+# depth-proportional, and an unbounded hostile media_ref would
+# otherwise allocate gigabytes ('li:u:999999999').
+_HEADING_REF_RE = re.compile(r"^h([+-]?[0-9]{1,9})$")
+_LIST_REF_RE = re.compile(r"^([^:]*):([^:]*):([+-]?[0-9]{1,9})$")
+LIST_DEPTH_MAX = 100
+
 
 def _heading_level(media_ref: str) -> int:
-    try:
-        level = int(media_ref[1:]) if media_ref.startswith("h") else 1
-    except ValueError:
+    m = _HEADING_REF_RE.match(media_ref)
+    if not m:
         return 1
-    return min(max(level, 1), 6)
+    return min(max(int(m.group(1)), 1), 6)
 
 
 def _list_prefix(media_ref: str) -> str:
-    # media_ref = "li:<u|o>:<depth>"
+    # media_ref = "li:<u|o>:<depth>" (exactly three ':'-parts; any
+    # other shape falls back to an unordered depth-0 bullet)
     marker, depth = "u", 0
-    parts = media_ref.split(":")
-    if len(parts) == 3:
-        marker = parts[1]
-        try:
-            depth = max(int(parts[2]), 0)
-        except ValueError:
-            depth = 0
+    m = _LIST_REF_RE.match(media_ref)
+    if m:
+        marker = m.group(2)
+        depth = min(max(int(m.group(3)), 0), LIST_DEPTH_MAX)
     bullet = "1." if marker == "o" else "-"
     return "  " * depth + bullet + " "
 

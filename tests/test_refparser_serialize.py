@@ -1,5 +1,7 @@
 """Oracle markdown serializer tests (SURVEY.md §2.9 F10-F15)."""
 
+import pytest
+
 from document_parser_spark.config import (
     CELL_SEP,
     IMAGE_MODE_REFERENCED,
@@ -65,3 +67,49 @@ class TestBlocks:
 
     def test_empty(self):
         assert serialize_markdown([]) == ""
+
+
+class TestArmsParity:
+    """Vectorized serialize_batch vs the oracle on hostile media_ref
+    grammars and empty chunks (review-caught: the arms disagreed on
+    'h7', 'li:o', 'li:o:1:x', float depths, and dropped empty text
+    chunks that the oracle keeps as separator contributors). Both
+    sides now share the STRICT ref regexes and the table-only empty
+    skip."""
+
+    CASES = [
+        [("heading", "T", "h7")], [("heading", "T", "h12")],
+        [("heading", "T", "h0")], [("heading", "T", "h+3")],
+        [("heading", "T", "hx")], [("heading", "T", "h1_0")],
+        [("heading", "T", "h 3")],
+        [("list_item", "i", "li:o")],
+        [("list_item", "i", "li:o:1:x")],
+        [("list_item", "i", "li:u:2.5")],
+        [("list_item", "i", "li:u:-3")],
+        [("list_item", "i", "li:u:999999999")],  # depth DoS clamp
+        [("list_item", "i", "::0")],
+        [("list_item", "i", "li:o:x")],
+        [("text", "A", ""), ("text", "", ""), ("text", "B", "")],
+        [("list_item", "a", "li:u:0"), ("text", "", ""),
+         ("list_item", "b", "li:u:0")],
+        [("table", "", ""), ("text", "x", "")],
+        [("code", "", "")], [("weird", "", "")],
+    ]
+
+    @pytest.mark.parametrize("idx", range(19))
+    def test_hostile_refs_match(self, idx):
+        import pandas as pd
+
+        from document_parser_spark.operators.serialize import serialize_batch
+
+        spans = self.CASES[idx]
+        got = serialize_batch(pd.Series(
+            [[{"kind": k, "text": t, "media_ref": m}
+              for k, t, m in spans]]), "placeholder")[0]
+        assert got == serialize_markdown(spans), spans
+
+    def test_depth_clamp_bounds_allocation(self):
+        # strict grammar + clamp: a hostile depth cannot allocate a
+        # gigabyte indent on either side
+        md = serialize_markdown([("list_item", "i", "li:u:999999999")])
+        assert len(md) < 1000
