@@ -521,3 +521,51 @@ def test_hot_overflow_routes_pdf_fork_by_predicate(spark, monkeypatch):
         assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in got[name].spans] == want.spans, name
         assert got[name].markdown == want.markdown, name
+
+
+def test_hot_set_past_isin_max_uses_broadcast_join(spark, monkeypatch):
+    """Between _ISIN_MAX and _HOT_ID_CAP the hot set is too big for a
+    codegen isin literal: the CASE-salt tag and the pdf per-page fork
+    both switch to a broadcast LocalRelation join. That plan branch had
+    no direct test — force it (_ISIN_MAX=1) and require bit-identical
+    output to the isin-literal plan on the same input, pdf giants
+    still page-split and oracle-exact."""
+    from document_parser_spark.operators import reassemble as rmod
+    from document_parser_spark.plans import pipeline
+    from document_parser_spark.refparser.parse import parse_document
+
+    def text_giant(name):
+        return (name, [("text", f"{name} w{j}", None, j)
+                       for j in range(300)])
+
+    def pdf_giant(name):
+        return (name, [("pdf_line",
+                        f"{1 + ln // 40};1000;{90000 - (ln % 40) * 1400};"
+                        f"30000;{91000 - (ln % 40) * 1400}|{name} l{ln}",
+                        "", ln) for ln in range(120)])
+
+    rows = [text_giant("t1"), text_giant("t2"), pdf_giant("p1"),
+            ("cold", [("text", "cold body", None, 0)])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+
+    def snap(out_df):
+        return {r.doc_id: ([tuple(s) for s in r.spans], r.markdown,
+                           r.status, r.n_failures)
+                for r in out_df.collect()}
+
+    baseline = snap(pipeline.extract(df, salt_threshold=100))
+
+    monkeypatch.setattr(rmod, "_ISIN_MAX", 1)
+    monkeypatch.setattr(pipeline, "_ISIN_MAX", 1)
+    out_df = pipeline.extract(df, salt_threshold=100)
+    p = plan(out_df, mode="simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p, p
+    assert "FlatMapGroupsInPandas" in p      # pdf giant still page-split
+    got = snap(out_df)
+    assert got == baseline
+    want = parse_document(*pdf_giant("p1"))
+    spans, md, status, _ = got["p1"]
+    assert spans == [tuple(s) for s in want.spans]
+    assert md == want.markdown
