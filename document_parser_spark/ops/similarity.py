@@ -220,7 +220,12 @@ def knn_bruteforce_pandas(emb: DataFrame, query: list[float],
             M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             norms = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
             sims = (M @ qv) / norms
-            top = np.argsort(-sims)[:k]
+            # tie-break by vec_id so the per-partition cut agrees with
+            # the global (sim desc, vec_id asc) comparator — a bare
+            # argsort keeps ties in array-position order and can drop
+            # the row the global top-k would have kept (duplicate
+            # embeddings straddling the k boundary)
+            top = np.lexsort((pdf["vec_id"].values, -sims))[:k]
             yield pd.DataFrame({"vec_id": pdf["vec_id"].iloc[top].values,
                                 "sim": np.round(sims[top], 3)})
 

@@ -40,6 +40,20 @@ def test_pandas_bruteforce_matches_exact(emb, query):
     assert exact == fast
 
 
+def test_pandas_bruteforce_deterministic_on_ties(spark, query):
+    """Duplicate embeddings straddling the k boundary inside ONE
+    partition: the per-partition cut must break float ties by vec_id
+    (the global comparator), not by array position — a bare argsort
+    kept whichever duplicate happened to come first in the batch."""
+    dup = spark.createDataFrame(
+        [(int(i), [float(x) for x in query]) for i in (7, 3, 9, 1, 5, 8,
+                                                       2, 6, 0, 4)],
+        "vec_id bigint, embedding array<double>").coalesce(1)
+    got = [r.vec_id for r in
+           sim.knn_bruteforce_pandas(dup, query, k=5).collect()]
+    assert got == [0, 1, 2, 3, 4]
+
+
 def test_lsh_probe_keeps_planted_neighbor(emb, query):
     got = [r.vec_id for r in sim.ann_search_lsh(emb, query, k=5).collect()]
     assert got[0] == 0
