@@ -83,6 +83,14 @@ def serialize_markdown(
     """Ordered output spans ``[(kind, text, media_ref)]`` -> markdown string."""
     chunks: list = []  # (kind, rendered) | _PAGE_BREAK
     for kind, text, media_ref in spans:
+        # NULL fields render as empty strings — the vectorized arm's
+        # fillna('') rule. In-pipeline spans never carry NULLs after
+        # reassembly, but the two arms must agree (not crash apart) on
+        # any schema-valid input (review-caught: heading/list_item with
+        # a NULL media_ref raised TypeError here while serialize_batch
+        # rendered the fallback).
+        text = text if text is not None else ""
+        media_ref = media_ref if media_ref is not None else ""
         if kind == "page_break":
             chunks.append(_PAGE_BREAK)
         elif kind == "heading":

@@ -94,9 +94,18 @@ class TestArmsParity:
          ("list_item", "b", "li:u:0")],
         [("table", "", ""), ("text", "x", "")],
         [("code", "", "")], [("weird", "", "")],
+        # NULL fields (review-caught: the oracle raised TypeError on a
+        # NULL media_ref/text where the vectorized arm rendered its
+        # fillna('') fallback; both sides now agree None == "")
+        [("heading", "h", None)], [("list_item", "x", None)],
+        [("heading", None, "h2")], [("list_item", None, "li:o:1")],
+        [("text", None, None), ("text", "x", "")],
+        [("code", None, None)], [("table", None, None)],
+        [("image", None, None)],
+        [("page_break", None, None), ("text", None, None)],
     ]
 
-    @pytest.mark.parametrize("idx", range(19))
+    @pytest.mark.parametrize("idx", range(28))
     def test_hostile_refs_match(self, idx):
         import pandas as pd
 
@@ -107,6 +116,17 @@ class TestArmsParity:
             [[{"kind": k, "text": t, "media_ref": m}
               for k, t, m in spans]]), "placeholder")[0]
         assert got == serialize_markdown(spans), spans
+
+    def test_null_ref_image_referenced_mode(self):
+        import pandas as pd
+
+        from document_parser_spark.operators.serialize import serialize_batch
+
+        spans = [("image", None, None)]
+        got = serialize_batch(pd.Series(
+            [[{"kind": k, "text": t, "media_ref": m}
+              for k, t, m in spans]]), "referenced")[0]
+        assert got == serialize_markdown(spans, "referenced") == "![]()"
 
     def test_depth_clamp_bounds_allocation(self):
         # strict grammar + clamp: a hostile depth cannot allocate a
