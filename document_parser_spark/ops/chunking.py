@@ -37,12 +37,19 @@ def sliding_chunks(docs: DataFrame, text_col: str = "text",
     ws = F.filter(F.split(F.col(text_col), " "),
                   lambda w: w != F.lit(""))
     n = F.size(ws).cast("long")
-    n_chunks = F.when(n <= chunk, F.lit(1).cast("long")).otherwise(
-        F.lit(1) + F.floor((n - chunk + stride - 1) / F.lit(stride)))
     base = (docs
-            .select("doc_id", ws.alias("_ws"), n.alias("_n"),
-                    n_chunks.alias("_nc"))
-            .filter(F.col("_n") > 0))
+            .select("doc_id", ws.alias("_ws"), n.alias("_n"))
+            .filter(F.col("_n") > 0)
+            # integer `div`, not floor(double /): the oracle's `//` is
+            # integer division, and long/int division in Spark is
+            # double — exact only below 2^53 (the packing module's
+            # bucket rule, applied here for the same engine-parity
+            # reason even though no real document approaches the bound)
+            .withColumn("_nc", F.when(
+                F.col("_n") <= chunk, F.lit(1).cast("long")).otherwise(
+                F.lit(1) + F.expr(
+                    f"(_n - {int(chunk)} + {int(stride)} - 1) "
+                    f"div {int(stride)}"))))
     idx = F.explode(F.sequence(F.lit(0).cast("long"),
                                F.col("_nc") - 1)).alias("chunk_id")
     piece = F.slice(F.col("_ws"),
