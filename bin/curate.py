@@ -120,7 +120,15 @@ def main(argv: list[str] | None = None) -> int:
         kept = dc.decontaminate(kept, bench)
         n_contaminated = before - kept.count()
 
-    kept = smp.split_assign(kept, weights=weights, seed=args.seed)
+    # the split draw must be INDEPENDENT of the sampling draw: both are
+    # pure functions of (doc_id, seed), so sharing args.seed correlates
+    # them perfectly — with --sample-fraction <= 0.9 every surviving
+    # doc's key sits below the train boundary and val/test come out
+    # structurally EMPTY (masked at the 1.0 default, where every key
+    # survives). A stage-distinct derived seed keeps the run fully
+    # reproducible from the one --seed flag without the correlation.
+    kept = smp.split_assign(kept, weights=weights,
+                            seed=args.seed + ":split")
     if args.shard_tokens:
         shards = pk.shard_assign(
             kept.select("doc_id",

@@ -75,3 +75,43 @@ def test_curate_cli_end_to_end_and_resume(tmp_path):
     assert summary2["buckets_committed"] == 0
     assert summary2["output_docs"] == summary["output_docs"]
     assert summary2["split_counts"] == summary["split_counts"]
+
+
+PREP_UNIQUE = r"""
+import sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+rows = [(i, "the quick brown fox is on a log and it runs to the den "
+            "for food unique%d marker%d" % (i, i), "en",
+         "src%d" % (i % 3), 80) for i in range(400)]
+spark.createDataFrame(
+    rows, "doc_id long, text string, lang string, source string, "
+          "n_chars long").coalesce(2).write.mode("overwrite") \
+    .parquet(sys.argv[1])
+spark.stop()
+"""
+
+
+def test_curate_sampled_run_still_fills_every_split(tmp_path):
+    """Regression: the CLI passed ONE seed to both the sampling draw
+    and the split draw — two pure functions of (doc_id, seed) — so
+    with --sample-fraction <= 0.9 every surviving doc's hash key sat
+    below the train boundary and val/test came out structurally empty
+    (the 1.0 default masked it). The split seed is now stage-derived;
+    a half-sampled run must still populate all three splits (~200
+    survivors at 20%/20% val/test: P(an empty split) ~ 1e-19)."""
+    inp = str(tmp_path / "corpus")
+    out = str(tmp_path / "curated")
+    _run(["-c", PREP_UNIQUE, inp])
+
+    cli = ["bin/curate.py", "--input", inp, "--output", out,
+           "--sample-fraction", "0.5", "--partitions", "4",
+           "--shuffle-partitions", "8",
+           "--splits", "train:0.6,val:0.2,test:0.2"]
+    summary = json.loads(_run(cli).strip().splitlines()[-1])
+    f = summary["funnel"]
+    assert 0 < f["n_sampled"] < f["n_input"]      # the sampler fired
+    assert set(summary["split_counts"]) == {"train", "val", "test"}
+    assert summary["output_docs"] == sum(summary["split_counts"].values())
